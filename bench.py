@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: Sponza-class interior (~262k tris) at 1920x1080, 1spp
+progressive loop on one chip (BASELINE.json config 5).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the ratio against the 300 Mrays/s/chip north-star target.
+
+Scale down with env vars for smoke runs:
+  BENCH_WIDTH/BENCH_HEIGHT/BENCH_TRIS/BENCH_FRAMES
+"""
+
+import json
+import os
+import sys
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("PATHTRACER_CACHE",
+                       os.path.expanduser("~/.cache/pathtracer-jax")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    _enable_compile_cache()
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    tris = int(os.environ.get("BENCH_TRIS", 262_000))
+    frames = int(os.environ.get("BENCH_FRAMES", 8))
+
+    from pathtracer.accel.lbvh import build_scene_bvh
+    from pathtracer.bench.harness import bench_scene
+    from pathtracer.config import RenderConfig
+    from pathtracer.integrator.camera import Camera
+    from pathtracer.scene.procedural import sponza_like
+
+    scene = sponza_like(target_tris=tris).finalize()
+    scene = build_scene_bvh(scene)
+
+    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6,
+                       intersector="bvh")
+    cam = Camera(position=(3.0, 4.5, 6.0))
+    cam.look_at((14.0, 3.0, 6.0))
+
+    result = bench_scene(scene, cfg, cam, warmup=2, frames=frames)
+
+    baseline = 300.0  # Mrays/s/chip north-star (BASELINE.json)
+    print(json.dumps({
+        "metric": "sponza_1080p_mrays_per_sec_per_chip",
+        "value": round(result.mrays_per_sec, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(result.mrays_per_sec / baseline, 4),
+        "detail": {
+            "ms_per_frame": round(result.ms_per_frame, 3),
+            "rays_per_frame": result.rays_per_frame,
+            "tris": tris,
+            "resolution": [width, height],
+            "spp": cfg.spp,
+            "max_depth": cfg.max_depth,
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

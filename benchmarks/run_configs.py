@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Run all five BASELINE.json bench configs, print one JSON line each.
+
+  1. Cornell box 256x256 @ 4 spp        (golden-image config)
+  2. bunny-class mesh (~81k tris) 512^2 (LBVH build + traverse)
+  3. materials suite 512^2 @ 64 spp     (GGX metal + dielectric + MIS)
+  4. env-map + textured scene 1024^2    (HDR importance sampling)
+  5. Sponza-class (~262k tris) 1080p    (headline Mrays/s + ms/frame)
+
+Scale down for smoke runs: --scale 0.25 (resolution) --frames 2.
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_configs(scale: float):
+    from pathtracer.config import RenderConfig
+    from pathtracer.integrator.camera import Camera
+    from pathtracer.scene import procedural
+    from pathtracer.scene.build import MaterialDesc
+
+    def r(x):
+        return max(16, int(x * scale) // 8 * 8)
+
+    def cam(pos, tgt):
+        c = Camera(position=pos)
+        c.look_at(tgt)
+        return c
+
+    def envmap_scene():
+        b = procedural.bunny_like(subdivisions=5)
+        # checkerboard texture on the body + an HDR sky with a hot sun
+        tex = np.indices((256, 256)).sum(axis=0) % 2
+        tex = (np.stack([tex] * 3, -1) * 0.6 + 0.2).astype(np.float32)
+        tid = b.add_texture(tex)
+        b.materials[1] = MaterialDesc(albedo=(1, 1, 1), albedo_tex=tid,
+                                      roughness=0.4)
+        env = np.ones((64, 128, 3), np.float32) * 0.1
+        env[10:14, 30:38] = 50.0  # sun disc
+        b.set_envmap(env)
+        return b.finalize()
+
+    return [
+        ("cornell_256_4spp",
+         lambda: procedural.cornell_box().finalize(),
+         RenderConfig(width=r(256), height=r(256), spp=4, max_depth=6),
+         cam((0.5, 0.5, 2.2), (0.5, 0.5, 0.0))),
+        ("bunny_512_lbvh",
+         lambda: procedural.bunny_like().finalize(),
+         RenderConfig(width=r(512), height=r(512), spp=1, max_depth=6),
+         cam((0.0, 2.0, 5.0), (0.0, 1.2, 0.0))),
+        ("materials_512_64spp",
+         lambda: procedural.cornell_box(materials_suite=True).finalize(),
+         RenderConfig(width=r(512), height=r(512), spp=4, max_depth=6),
+         cam((0.5, 0.5, 2.2), (0.5, 0.5, 0.0))),  # 64 spp = 16 frames x 4
+        ("envmap_textured_1024",
+         envmap_scene,
+         RenderConfig(width=r(1024), height=r(1024), spp=1, max_depth=6,
+                      sky="envmap", env_importance_sampling=True,
+                      emission_gain=1.0),
+         cam((0.0, 2.5, 5.5), (0.0, 1.2, 0.0))),
+        ("sponza_1080p",
+         lambda: procedural.sponza_like().finalize(),
+         RenderConfig(width=r(1920), height=r(1080), spp=1, max_depth=6),
+         cam((3.0, 4.5, 6.0), (14.0, 3.0, 6.0))),
+    ]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args(argv)
+
+    from pathtracer.accel.lbvh import build_scene_bvh
+    from pathtracer.bench.harness import bench_scene
+
+    wanted = {int(x) for x in args.configs.split(",")}
+    for i, (name, scene_fn, cfg, camera) in enumerate(
+            build_configs(args.scale), start=1):
+        if i not in wanted:
+            continue
+        scene = build_scene_bvh(scene_fn())
+        res = bench_scene(scene, cfg, camera, warmup=1, frames=args.frames)
+        print(json.dumps({
+            "config": name,
+            "mrays_per_sec": round(res.mrays_per_sec, 3),
+            "ms_per_frame": round(res.ms_per_frame, 3),
+            "rays_per_frame": res.rays_per_frame,
+            "tris": int(scene.n_tris),
+            "resolution": [cfg.width, cfg.height],
+            "spp": cfg.spp,
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Render configuration.
+
+The reference has no config system: every knob is a compile-time constant
+(SURVEY.md par.5 "Config"). This dataclass enumerates that entire observable
+option surface:
+
+- resolution            common.h:4-5 (1280x720)
+- spp per frame         raygen.rgen:100 (4)
+- max path depth        raygen.rgen:128 (6)
+- vertical fov          raygen.rgen:113-114 (70 deg)
+- RR start depth        raygen.rgen:286 (after depth 3)
+- emission gain         raygen.rgen:132 (x10)
+- sky model             miss.rmiss:153-163 (gradient x0.2; Hosek-Wilkie
+                        implemented but disabled)
+- epsilons              raygen.rgen:130,144,164,199-204
+
+The config is a frozen (hashable) dataclass so it can be closed over /
+passed as a static argument to jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render settings (hashable; safe to use as a jit static arg)."""
+
+    width: int = 1280
+    height: int = 720
+    spp: int = 4
+    max_depth: int = 6
+    fov_deg: float = 70.0
+
+    # Russian roulette kicks in for bounce indices strictly greater than this
+    # (raygen.rgen:286 `if (depth > 3)`).
+    rr_start_depth: int = 3
+    rr_clamp_lo: float = 0.05
+    rr_clamp_hi: float = 0.95
+    throughput_cutoff: float = 1e-4
+
+    # Emission scale applied to emitter radiance (raygen.rgen:132 hard-codes
+    # x10 on BSDF-path hits only; we apply it consistently to both estimators
+    # unless reference_quirks is set - SURVEY.md par.3.6.2).
+    emission_gain: float = 10.0
+
+    # Sky: "gradient" (miss.rmiss:153-156 x sky_gain), "black", "hosek"
+    # (miss.rmiss:8-151), or "envmap" (HDR equirect, net-new capability).
+    sky: str = "gradient"
+    # NEE on the environment map with MIS (sky="envmap" only): a second
+    # shadow ray per bounce importance-sampled from the env luminance CDF.
+    env_importance_sampling: bool = False
+    sky_gain: float = 0.2
+    sun_direction: tuple = (0.3, 0.6, 0.2)
+    sun_intensity: float = 20.0
+
+    # Base RNG seed, mixed into every counter-based sample key.
+    seed: int = 0
+
+    # Epsilon policy (values from raygen.rgen:130,144,164,199-204).
+    t_min: float = 1e-3
+    t_max: float = 1e20
+    shadow_eps: float = 1e-4
+
+    # Reproduce the reference's estimator quirks exactly (SURVEY.md par.3.6):
+    # NEE without the x10 gain and emission=mat.emission (not *albedo) on BSDF
+    # hits, no MIS weight on BSDF-sampled emitter hits, conditional-lobe-only
+    # BSDF pdf. Default False = the fixed, consistent estimator.
+    reference_quirks: bool = False
+
+    # Intersection backend: "bvh" (LBVH traversal) or "brute" (O(n) oracle).
+    intersector: str = "bvh"
+
+    # Ray-batch chunking: rays per jitted wavefront launch. 0 = whole frame.
+    rays_per_chunk: int = 0
+
+    def __post_init__(self):
+        if self.width <= 0 or self.height <= 0:
+            raise ValueError("resolution must be positive")
+        if self.spp <= 0:
+            raise ValueError("spp must be positive")
+        if self.max_depth <= 0:
+            raise ValueError("max_depth must be positive")
+        if self.sky not in ("gradient", "black", "hosek", "envmap"):
+            raise ValueError(f"unknown sky model: {self.sky!r}")
+        if self.intersector not in ("bvh", "brute"):
+            raise ValueError(f"unknown intersector: {self.intersector!r}")
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def aspect(self) -> float:
+        return self.width / self.height

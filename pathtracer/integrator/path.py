@@ -1,0 +1,443 @@
+"""Wavefront path integrator.
+
+The TPU-native re-design of the reference's device-side renderer: the
+iterative unidirectional path tracer in raygen.rgen:95-307 with surface
+interaction fetch from closesthit.rchit and environment light from
+miss.rmiss. Where the reference runs one SIMT lane per pixel, this runs a
+flat SoA ray batch [N] through a statically-unrolled bounce loop with active
+masking - per-lane control flow becomes jnp.where selects (SURVEY.md par.7
+"Key idiomatic choices").
+
+Estimator (default, `reference_quirks=False`) - the reference's estimator
+with its three documented inconsistencies fixed (SURVEY.md par.3.6.1-3):
+
+- emission gain (x10, raygen.rgen:132) applied to BOTH the BSDF-path hit
+  and the NEE estimator, and both use Le = mat.emission * mat.albedo
+  (the light list's definition, main.cpp:282-284);
+- BSDF-sampled emitter hits are MIS-weighted against the light-sampling
+  pdf (power heuristic), closing the double-count;
+- BSDF throughput uses the full lobe-mixture pdf (one-sample MIS over
+  lobes) rather than the conditional lobe pdf.
+
+With `reference_quirks=True` the reference's exact behavior is reproduced.
+
+Bounce structure per iteration (raygen.rgen:128-292):
+  trace -> emission add -> alpha test -> dielectric branch -> NEE+MIS ->
+  BSDF sample -> Russian roulette.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer.bsdf import microfacet as mf
+from pathtracer.config import RenderConfig
+from pathtracer.integrator import sky as sky_mod
+from pathtracer.kernels.intersect import Hit
+from pathtracer.sampling import rng
+from pathtracer.scene.types import MAT_DIELECTRIC, Scene
+from pathtracer.utils import vmath
+
+
+class Surface(NamedTuple):
+    """Interpolated + textured shading point (HitPayload, common.glsl:9-21)."""
+
+    position: jnp.ndarray   # [N,3]
+    normal: jnp.ndarray     # [N,3] shading normal (normal-mapped)
+    geom_normal: jnp.ndarray  # [N,3] geometric (for light pdf / facing)
+    albedo: jnp.ndarray     # [N,3] linear
+    emission: jnp.ndarray   # [N,3]
+    roughness: jnp.ndarray  # [N]
+    metallic: jnp.ndarray   # [N]
+    ior: jnp.ndarray        # [N]
+    alpha: jnp.ndarray      # [N]
+    mat_type: jnp.ndarray   # [N] i32
+    light_pdf_area: jnp.ndarray  # [N] p_select/area if emissive else 0
+
+
+def _sample_texture(textures, tex_id, u, v):
+    """Bilinear, repeat-wrap texture fetch from the padded stack.
+
+    textures: f32[K, TH, TW, 4]; tex_id: i32[N] (-1 = none, clamped to 0 and
+    masked by the caller); u, v: f32[N]. Matches the reference's
+    linear-filter repeat sampler (texture.cpp:57-66).
+    """
+    th, tw = textures.shape[1], textures.shape[2]
+    tid = jnp.maximum(tex_id, 0)
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), tw)
+    y0i = jnp.mod(y0.astype(jnp.int32), th)
+    x1i = jnp.mod(x0i + 1, tw)
+    y1i = jnp.mod(y0i + 1, th)
+    a = textures[tid, y0i, x0i] * (1 - fx) + textures[tid, y0i, x1i] * fx
+    b = textures[tid, y1i, x0i] * (1 - fx) + textures[tid, y1i, x1i] * fx
+    return a * (1 - fy) + b * fy
+
+
+def fetch_surface(scene: Scene, hit: Hit, quirks: bool) -> Surface:
+    """Closest-hit stage: vertex/material/texture fetch + interpolation.
+
+    Re-derivation of closesthit.rchit:68-125 as batched gathers. Invalid
+    (miss) lanes gather triangle 0; callers mask them out.
+    """
+    tri = jnp.maximum(hit.tri, 0)
+    idx = scene.indices[tri]                      # [N,3]
+    w1 = hit.u[..., None]
+    w2 = hit.v[..., None]
+    w0 = 1.0 - w1 - w2                            # closesthit.rchit:75
+
+    p0 = scene.positions[idx[..., 0]]
+    p1 = scene.positions[idx[..., 1]]
+    p2 = scene.positions[idx[..., 2]]
+    position = p0 * w0 + p1 * w1 + p2 * w2
+
+    n0 = scene.normals[idx[..., 0]]
+    n1 = scene.normals[idx[..., 1]]
+    n2 = scene.normals[idx[..., 2]]
+    normal = vmath.normalize(n0 * w0 + n1 * w1 + n2 * w2)
+
+    uv0 = scene.uvs[idx[..., 0]]
+    uv1 = scene.uvs[idx[..., 1]]
+    uv2 = scene.uvs[idx[..., 2]]
+    uv = uv0 * w0 + uv1 * w1 + uv2 * w2
+
+    geom_normal = vmath.normalize(vmath.cross(p1 - p0, p2 - p0))
+
+    mid = scene.face_material[tri]
+    albedo = scene.mat_albedo[mid]
+    emission = scene.mat_emission[mid]
+    roughness = scene.mat_roughness[mid]
+    metallic = scene.mat_metallic[mid]
+    alpha = scene.mat_alpha[mid]
+
+    if scene.has_textures:
+        u, v = uv[..., 0], uv[..., 1]
+        # Albedo: sRGB-encoded texture REPLACES the factor and linearizes
+        # with pow 2.2; alpha multiplies (closesthit.rchit:88-92).
+        at = scene.mat_albedo_tex[mid]
+        tex = _sample_texture(scene.textures, at, u, v)
+        has_at = (at >= 0)
+        albedo = jnp.where(has_at[..., None],
+                           jnp.maximum(tex[..., :3], 0.0) ** 2.2, albedo)
+        alpha = jnp.where(has_at, alpha * tex[..., 3], alpha)
+        # Metal-rough from G/B channels, multiplied (closesthit.rchit:97-101).
+        mrt = scene.mat_mr_tex[mid]
+        mr = _sample_texture(scene.textures, mrt, u, v)
+        has_mr = (mrt >= 0)
+        roughness = jnp.where(has_mr, roughness * mr[..., 1], roughness)
+        metallic = jnp.where(has_mr, metallic * mr[..., 2], metallic)
+        # Tangent-space normal map via Gram-Schmidt TBN
+        # (closesthit.rchit:104-112).
+        nt = scene.mat_normal_tex[mid]
+        t0 = scene.tangents[idx[..., 0]]
+        t1 = scene.tangents[idx[..., 1]]
+        t2 = scene.tangents[idx[..., 2]]
+        tangent = vmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
+        nm = _sample_texture(scene.textures, nt, u, v)[..., :3] * 2.0 - 1.0
+        t_ortho = vmath.normalize(tangent - normal * vmath.dotk(normal, tangent))
+        b = vmath.cross(normal, t_ortho)
+        mapped = vmath.normalize(
+            t_ortho * nm[..., 0:1] + b * nm[..., 1:2] + normal * nm[..., 2:3])
+        normal = jnp.where((nt >= 0)[..., None], mapped, normal)
+
+    if quirks:
+        emission_eff = emission  # closesthit.rchit:116 payload = mat.emission
+    else:
+        # consistent with the light list's Le (main.cpp:282-284)
+        emission_eff = emission * scene.mat_albedo[mid]
+
+    return Surface(
+        position=position,
+        normal=normal,
+        geom_normal=geom_normal,
+        albedo=albedo,
+        emission=emission_eff,
+        roughness=jnp.clip(roughness, 0.01, 1.0),   # closesthit.rchit:119
+        metallic=jnp.clip(metallic, 0.0, 1.0),      # closesthit.rchit:121
+        ior=scene.mat_ior[mid],
+        alpha=jnp.clip(alpha, 0.0, 1.0),            # closesthit.rchit:122
+        mat_type=scene.mat_type[mid],
+        light_pdf_area=scene.tri_light_pdf_area[tri],
+    )
+
+
+def _power_heuristic(pdf_a, pdf_b):
+    """Power heuristic beta=2 (raygen.rgen:247)."""
+    a2 = pdf_a * pdf_a
+    return a2 / jnp.maximum(a2 + pdf_b * pdf_b, 1e-20)
+
+
+def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
+             pixel, sample, depth, occluded_fn):
+    """Environment-map NEE with MIS (net-new; BASELINE config 4).
+
+    One shadow ray toward a luminance-importance-sampled env direction.
+    Returns (contrib/T [N,3]).
+    """
+    from pathtracer.scene import envlight
+
+    u = rng.uniform4(pixel, sample, depth, rng.SALT_ENV_SELECT, cfg.seed)
+    l_dir, _, _ = envlight.sample_env(
+        scene.env_marginal_cdf, scene.env_cond_cdf,
+        u[..., 0], u[..., 1], u[..., 2], u[..., 3])
+    p_env = envlight.env_pdf(scene.env_pdf, l_dir)
+    n_dot_l = jnp.maximum(vmath.dot(surf.normal, l_dir), 0.0)
+    ok = (n_dot_l > 0.0) & (p_env > 0.0)
+
+    s_orig = surf.position + surf.normal * cfg.shadow_eps
+    blocked = occluded_fn(s_orig, l_dir, jnp.full(
+        l_dir.shape[:-1], 1e18, jnp.float32))
+
+    le = sky_mod.envmap_radiance(scene.envmap, l_dir)
+    f = mf.eval_brdf(surf.normal, view, l_dir, surf.albedo, surf.metallic,
+                     surf.roughness)
+    pdf_b = mf.pdf_bsdf(surf.normal, view, l_dir, surf.metallic,
+                        surf.roughness)
+    w = _power_heuristic(p_env, pdf_b)
+    contrib = f * le * (n_dot_l * w / jnp.maximum(p_env, 1e-12))[..., None]
+    return jnp.where((ok & ~blocked)[..., None], contrib, 0.0)
+
+
+def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
+         pixel, sample, depth, occluded_fn):
+    """Next-event estimation (raygen.rgen:168-261). Returns contrib/T [N,3].
+
+    view = unit vector from surface toward the previous vertex (-ray dir).
+    """
+    u_sel = rng.uniform1(pixel, sample, depth, rng.SALT_LIGHT_SELECT, cfg.seed)
+    li = jnp.clip(jnp.searchsorted(scene.light_cdf, u_sel, side="left"),
+                  0, scene.light_cdf.shape[0] - 1).astype(jnp.int32)
+
+    v0 = scene.light_v0[li]
+    v1 = scene.light_v1[li]
+    v2 = scene.light_v2[li]
+    light_n = scene.light_normal[li]
+    le = scene.light_emission[li]
+    area = scene.light_area[li]
+    p_tri = scene.light_pdf[li]
+
+    # Uniform point on the triangle (raygen.rgen:74-84).
+    r1, r2 = rng.uniform2(pixel, sample, depth, rng.SALT_LIGHT_UV, cfg.seed)
+    sr1 = jnp.sqrt(r1)
+    b0 = (1.0 - sr1)[..., None]
+    b1 = (r2 * sr1)[..., None]
+    p_on_light = v0 * b0 + v1 * b1 + v2 * (1.0 - b0 - b1)
+
+    p_a = p_tri / jnp.maximum(area, vmath.EPS)      # raygen.rgen:185
+
+    to_light = p_on_light - surf.position
+    dist2 = jnp.maximum(vmath.dot(to_light, to_light), vmath.EPS)
+    l_dir = to_light * jax.lax.rsqrt(dist2)[..., None]
+    n_dot_l = jnp.maximum(vmath.dot(surf.normal, l_dir), 0.0)
+    nl_dot = jnp.maximum(vmath.dot(light_n, -l_dir), 0.0)
+    geo_ok = (n_dot_l > 0.0) & (nl_dot > 0.0)       # raygen.rgen:195
+
+    # Shadow ray. The reference (raygen.rgen:199-204) offsets the target
+    # BEHIND the emitter (pOnLight - lightNormal*eps) with tmax = dist - eps;
+    # in exact arithmetic that ray crosses the emissive triangle itself at
+    # t < tmax whenever the receiver is off the light's axis, so NEE
+    # self-occludes on the emitter (documented quirk, kept under
+    # reference_quirks). Fixed scheme: offset the origin along the shading
+    # normal, aim straight at the sampled point, and pull tmax back by a
+    # RELATIVE margin - the emitter at t ~= dist is excluded cleanly.
+    eps = cfg.shadow_eps
+    s_orig = surf.position + surf.normal * eps
+    if cfg.reference_quirks:
+        target = p_on_light - light_n * eps
+        s_dir = vmath.normalize(target - s_orig)
+        s_tmax = jnp.maximum(0.0, jnp.sqrt(dist2) - eps)
+    else:
+        seg = p_on_light - s_orig
+        seg_len = jnp.sqrt(jnp.maximum(vmath.dot(seg, seg), 1e-20))
+        s_dir = seg / seg_len[..., None]
+        s_tmax = seg_len * (1.0 - 1e-3)
+    blocked = occluded_fn(s_orig, s_dir, s_tmax)
+
+    f = mf.eval_brdf(surf.normal, view, l_dir, surf.albedo, surf.metallic,
+                     surf.roughness)
+    p_omega_light = p_a * dist2 / jnp.maximum(nl_dot, vmath.EPS)
+    pdf_b = mf.pdf_bsdf(surf.normal, view, l_dir, surf.metallic,
+                        surf.roughness)
+    w = _power_heuristic(p_omega_light, pdf_b)
+
+    g = n_dot_l * nl_dot / dist2                    # raygen.rgen:250
+    gain = 1.0 if cfg.reference_quirks else cfg.emission_gain
+    contrib = f * (le * gain) * (g / jnp.maximum(p_a, 1e-12))[..., None] \
+        * w[..., None]
+    ok = geo_ok & ~blocked
+    return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
+                pixel_ids, sample_ids,
+                intersect_fn: Callable, occluded_fn: Callable):
+    """Trace a batch of paths to completion.
+
+    Returns (radiance f32[N,3], rays_traced f32 scalar). The ray counter is
+    exact - path rays actually traced plus NEE shadow rays - a free
+    by-product of the active masks (SURVEY.md par.5 "Tracing": Mrays/s from
+    real ray counts, not upper bounds).
+
+    intersect_fn(o, d, t_min, t_max) -> Hit
+    occluded_fn(o, d, t_max) -> bool[N]
+    """
+    n = origins.shape[0]
+    o = origins
+    d = directions
+    throughput = jnp.ones((n, 3), jnp.float32)
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    active = jnp.ones((n,), bool)
+    # Last BSDF solid-angle pdf, for MIS on emitter hits; inf marks delta
+    # segments (camera, dielectric, alpha passthrough) => weight 1.
+    prev_pdf = jnp.full((n,), jnp.inf, jnp.float32)
+
+    gain = cfg.emission_gain
+    rays_traced = jnp.zeros((), jnp.float32)
+    env_nee = (cfg.env_importance_sampling and cfg.sky == "envmap"
+               and scene.has_envmap)
+
+    for depth in range(cfg.max_depth):
+        rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
+        hit = intersect_fn(o, d, cfg.t_min, cfg.t_max)
+        hit_ok = hit.valid & active
+
+        # --- miss: environment (miss.rmiss; payload.done) ---
+        missed = active & ~hit.valid
+        sky_rad = sky_mod.sky_radiance(cfg, scene.envmap, d)
+        if env_nee:
+            # MIS against the env NEE strategy (delta segments weight 1)
+            from pathtracer.scene import envlight
+
+            p_env = envlight.env_pdf(scene.env_pdf, d)
+            w_sky = jnp.where(jnp.isinf(prev_pdf), 1.0,
+                              _power_heuristic(prev_pdf, p_env))
+            sky_rad = sky_rad * w_sky[..., None]
+        radiance = radiance + jnp.where(
+            missed[..., None], throughput * sky_rad, 0.0)
+        active = hit_ok
+
+        surf = fetch_surface(scene, hit, cfg.reference_quirks)
+
+        # --- emitter hit (raygen.rgen:132) ---
+        if cfg.reference_quirks:
+            w_emit = jnp.ones((n,), jnp.float32)   # quirk 3: no MIS weight
+        else:
+            cos_l = jnp.maximum(vmath.dot(surf.geom_normal, -d), 0.0)
+            pdf_light = surf.light_pdf_area * hit.t * hit.t \
+                / jnp.maximum(cos_l, vmath.EPS)
+            is_delta = jnp.isinf(prev_pdf)
+            w_emit = jnp.where(
+                is_delta | (surf.light_pdf_area <= 0.0),
+                1.0, _power_heuristic(prev_pdf, pdf_light))
+        radiance = radiance + jnp.where(
+            hit_ok[..., None],
+            throughput * surf.emission * gain * w_emit[..., None], 0.0)
+
+        if depth == cfg.max_depth - 1:
+            break  # last segment only collects emission
+
+        view = -d
+
+        # --- alpha stochastic transparency (raygen.rgen:143-146) ---
+        u_alpha = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_ALPHA,
+                               cfg.seed)
+        passthrough = active & (surf.alpha < 0.99) & (u_alpha > surf.alpha)
+
+        # --- dielectric (raygen.rgen:149-166) ---
+        is_dielectric = active & ~passthrough \
+            & (surf.mat_type == MAT_DIELECTRIC)
+        cosi = vmath.dot(d, surf.normal)
+        entering = cosi <= 0.0
+        eta_ratio = jnp.where(entering, 1.0 / surf.ior, surf.ior)
+        n_eff = jnp.where(entering[..., None], surf.normal, -surf.normal)
+        refr, tir = vmath.refract(d, n_eff, eta_ratio)
+        refl_prob = vmath.saturate(
+            mf.schlick_scalar(jnp.abs(cosi), 0.04))  # raygen.rgen:158
+        u_d = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_DIELECTRIC,
+                           cfg.seed)
+        take_refl = tir | (u_d < refl_prob)
+        d_dielectric = jnp.where(take_refl[..., None],
+                                 vmath.reflect(d, surf.normal), refr)
+
+        # --- NEE (raygen.rgen:168-261) ---
+        shade = active & ~passthrough & ~is_dielectric
+        if scene.has_lights:
+            nee = _nee(scene, cfg, surf, view, pixel_ids, sample_ids, depth,
+                       occluded_fn)
+            radiance = radiance + jnp.where(
+                shade[..., None], throughput * nee, 0.0)
+            rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
+        if env_nee:
+            env_c = _nee_env(scene, cfg, surf, view, pixel_ids, sample_ids,
+                             depth, occluded_fn)
+            radiance = radiance + jnp.where(
+                shade[..., None], throughput * env_c, 0.0)
+            rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
+
+        # --- BSDF sampling (raygen.rgen:263-283) ---
+        u_lobe = rng.uniform1(pixel_ids, sample_ids, depth,
+                              rng.SALT_BSDF_LOBE, cfg.seed)
+        u1, u2 = rng.uniform2(pixel_ids, sample_ids, depth, rng.SALT_BSDF_UV,
+                              cfg.seed)
+        p_spec = mf.lobe_select_prob(surf.metallic, surf.roughness)
+        choose_spec = u_lobe < p_spec
+        l_spec = mf.sample_ggx(surf.normal, view, surf.roughness, u1, u2)
+        l_diff = mf.sample_cosine(surf.normal, u1, u2)
+        l_new = jnp.where(choose_spec[..., None], l_spec, l_diff)
+
+        n_dot_l = jnp.maximum(vmath.dot(surf.normal, l_new), 0.0)
+        if cfg.reference_quirks:
+            # conditional-lobe pdf only (raygen.rgen:267-274)
+            pdf = jnp.where(
+                choose_spec,
+                jnp.maximum(mf.pdf_ggx(surf.normal, view, l_new,
+                                       surf.roughness), 1e-6),
+                jnp.maximum(mf.pdf_cosine(n_dot_l), 1e-6))
+        else:
+            pdf = mf.pdf_bsdf(surf.normal, view, l_new, surf.metallic,
+                              surf.roughness)
+        f = mf.eval_brdf(surf.normal, view, l_new, surf.albedo, surf.metallic,
+                         surf.roughness)
+        bsdf_ok = n_dot_l > 0.0                     # raygen.rgen:277
+
+        new_throughput = throughput * f * (n_dot_l / pdf)[..., None]
+
+        # For MIS at the next emitter hit: the mixture pdf of this sample.
+        mix_pdf = mf.pdf_bsdf(surf.normal, view, l_new, surf.metallic,
+                              surf.roughness)
+
+        # --- merge the three continuation classes ---
+        # passthrough: same direction, origin stepped past the surface
+        # (raygen.rgen:144); dielectric: new delta direction; shade: BSDF.
+        new_d = jnp.where(passthrough[..., None], d,
+                          jnp.where(is_dielectric[..., None], d_dielectric,
+                                    l_new))
+        new_o = surf.position + new_d * cfg.t_min   # raygen.rgen:144,164,282
+        o = jnp.where(active[..., None], new_o, o)
+        d = jnp.where(active[..., None], new_d, d)
+        throughput = jnp.where(shade[..., None], new_throughput, throughput)
+        prev_pdf = jnp.where(shade, mix_pdf, jnp.inf)
+        active = active & (passthrough | is_dielectric | (shade & bsdf_ok))
+
+        # --- Russian roulette (raygen.rgen:286-291) ---
+        if depth > cfg.rr_start_depth:
+            p = jnp.clip(vmath.maxc(throughput), cfg.rr_clamp_lo,
+                         cfg.rr_clamp_hi)
+            u_rr = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_RR,
+                                cfg.seed)
+            survive = u_rr <= p
+            rr_applies = active & ~passthrough & ~is_dielectric
+            active = active & (~rr_applies | survive)
+            throughput = jnp.where((rr_applies & survive)[..., None],
+                                   throughput / p[..., None], throughput)
+        active = active & (vmath.maxc(throughput) >= cfg.throughput_cutoff)
+
+    return radiance, rays_traced

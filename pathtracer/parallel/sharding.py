@@ -1,0 +1,104 @@
+"""Multi-chip rendering: shard_map over a (tile, sample) device mesh.
+
+The reference has no cross-device story at all (SURVEY.md par.2.3: one
+queue, one GPU, host-synced every frame). The TPU-native scaling model is
+the renderer's analog of data + "sequence" parallelism:
+
+- **tile axis** (dp analog): the flat pixel/ray index space is sharded -
+  each device traces its slice of the framebuffer. Rays are embarrassingly
+  parallel; no communication needed.
+- **sample axis** (the spp dimension): samples-per-pixel are sharded and
+  reduced with an ICI `psum` - the only collective in the whole renderer
+  (SURVEY.md par.5 "Long-context": the final accumulation is the single
+  cross-device reduction).
+
+Scene + BVH are replicated (read-only, like the reference's single device-
+local copies); the per-frame output is resharded/gathered by XLA from the
+tile-sharded result. Layouts keep the psum on ICI within a slice - there is
+no DCN traffic at this scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pathtracer.config import RenderConfig
+from pathtracer.integrator import camera as cam_mod
+from pathtracer.integrator import path as path_mod
+from pathtracer.render import make_intersectors
+from pathtracer.scene.types import Scene
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              tile: Optional[int] = None,
+              sample: Optional[int] = None) -> Mesh:
+    """Build a (tile, sample) mesh over the given devices.
+
+    Default factorization: sample=2 if the device count is even else 1,
+    everything else on the tile axis.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if tile is None or sample is None:
+        sample = 2 if n % 2 == 0 and n >= 2 else 1
+        tile = n // sample
+    assert tile * sample == n, (tile, sample, n)
+    arr = np.asarray(devices).reshape(tile, sample)
+    return Mesh(arr, axis_names=("tile", "sample"))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_frame_sharded(scene: Scene, cfg: RenderConfig,
+                         cam: cam_mod.CameraState, frame_idx,
+                         mesh: Mesh) -> jnp.ndarray:
+    """Render one frame across the mesh. Returns radiance f32[H, W, 3].
+
+    Bit-compatible with the single-chip `render_frame`: the counter-based
+    RNG keys on (pixel, global sample) so the sharding layout does not
+    change the estimate (determinism across layouts).
+    """
+    n_tile = mesh.shape["tile"]
+    n_sample = mesh.shape["sample"]
+    w, h = cfg.width, cfg.height
+    n_pix = w * h
+    if n_pix % n_tile != 0:
+        raise ValueError(f"pixels {n_pix} not divisible by tile axis {n_tile}")
+    if cfg.spp % n_sample != 0:
+        raise ValueError(f"spp {cfg.spp} not divisible by sample axis "
+                         f"{n_sample}")
+    local_spp = cfg.spp // n_sample
+
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
+
+    def shard_fn(scene, cam, frame_idx, pixel_ids_local):
+        intersect_fn, occluded_fn = make_intersectors(scene, cfg)
+        s_rank = jax.lax.axis_index("sample").astype(jnp.uint32)
+        m = pixel_ids_local.shape[0]
+        radiance = jnp.zeros((m, 3), jnp.float32)
+        for s in range(local_spp):
+            gs = frame_idx * cfg.spp + s_rank * local_spp + jnp.uint32(s)
+            sample_ids = jnp.full((m,), gs, jnp.uint32)
+            o, d = cam_mod.generate_primary_rays(
+                cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids, cfg.seed)
+            r, _ = path_mod.trace_paths(
+                scene, cfg, o, d, pixel_ids_local, sample_ids,
+                intersect_fn, occluded_fn)
+            radiance = radiance + r
+        # the one collective: reduce the sample shards over ICI.
+        radiance = jax.lax.psum(radiance, "sample") / cfg.spp
+        return radiance
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("tile")),
+        out_specs=P("tile"),
+    )(scene, cam, frame_idx, pixel_ids)
+    return sharded.reshape(h, w, 3)

@@ -1,0 +1,150 @@
+"""Top-level render API: frame rendering + progressive accumulation loop.
+
+Replaces the reference's pipeline assembly + frame loop (main.cpp:407-731):
+instead of descriptor sets, an SBT and `traceRaysKHR`, a frame is one jitted
+function of (scene pytree, camera state, frame index); XLA compilation is
+the pipeline build (SURVEY.md par.1 L5). The interactive swapchain loop
+becomes the headless `Renderer` driver with camera-move accumulation resets
+(main.cpp:662-731 semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer import film as film_mod
+from pathtracer.config import RenderConfig
+from pathtracer.integrator import camera as cam_mod
+from pathtracer.integrator import path as path_mod
+from pathtracer.kernels import intersect as isect
+from pathtracer.kernels import traverse
+from pathtracer.scene.types import Scene
+
+
+def make_intersectors(scene: Scene, cfg: RenderConfig):
+    """Build (intersect_fn, occluded_fn) closures for the chosen backend."""
+    v0, v1, v2 = scene.tri_vertices(jnp.arange(scene.n_tris))
+    if cfg.intersector == "brute":
+        def intersect_fn(o, d, t_min, t_max):
+            return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
+
+        def occluded_fn(o, d, t_max):
+            return isect.occluded_brute(o, d, t_max, v0, v1, v2)
+    else:
+        if scene.bvh is None:
+            raise ValueError(
+                "cfg.intersector='bvh' but scene has no BVH; call "
+                "accel.lbvh.build_scene_bvh(scene) first")
+
+        def intersect_fn(o, d, t_min, t_max):
+            return traverse.intersect_bvh(scene.bvh, scene.indices,
+                                          scene.positions, o, d, t_min, t_max)
+
+        def occluded_fn(o, d, t_max):
+            return traverse.occluded_bvh(scene.bvh, scene.indices,
+                                         scene.positions, o, d, t_max)
+
+    return intersect_fn, occluded_fn
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
+                            cam: cam_mod.CameraState, frame_idx):
+    """Render one frame's radiance estimate (mean of cfg.spp samples).
+
+    Returns (linear radiance f32[H, W, 3], rays_traced f32 scalar).
+    Deterministic in (cfg.seed, frame_idx): the counter-based RNG keys every
+    sample on (pixel, frame*spp + s, depth, use).
+    """
+    intersect_fn, occluded_fn = make_intersectors(scene, cfg)
+    w, h = cfg.width, cfg.height
+    n = w * h
+    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
+
+    def one_spp(s):
+        sample_ids = jnp.full((n,), frame_idx * cfg.spp + s, jnp.uint32)
+        o, d = cam_mod.generate_primary_rays(
+            cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
+        return path_mod.trace_paths(scene, cfg, o, d, pixel_ids, sample_ids,
+                                    intersect_fn, occluded_fn)
+
+    radiance = jnp.zeros((n, 3), jnp.float32)
+    rays = jnp.zeros((), jnp.float32)
+    for s in range(cfg.spp):  # static unroll (raygen.rgen:103 spp loop)
+        r, k = one_spp(jnp.uint32(s))
+        radiance = radiance + r
+        rays = rays + k
+    radiance = radiance / cfg.spp                  # raygen.rgen:297
+    return radiance.reshape(h, w, 3), rays
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene: Scene, cfg: RenderConfig, cam: cam_mod.CameraState,
+                 frame_idx) -> jnp.ndarray:
+    """Render one frame's linear radiance f32[H, W, 3]."""
+    radiance, _ = render_frame_with_stats(scene, cfg, cam, frame_idx)
+    return radiance
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_step(scene: Scene, cfg: RenderConfig, cam: cam_mod.CameraState,
+                film: film_mod.Film) -> film_mod.Film:
+    """One progressive step: render at film.frame and fold into the film."""
+    radiance = render_frame(scene, cfg, cam, film.frame.astype(jnp.uint32))
+    return film_mod.accumulate(film, radiance)
+
+
+class Renderer:
+    """Headless progressive renderer - the frame-loop driver (main.cpp L7).
+
+    Owns (scene, cfg, camera, film). `step()` renders one frame and
+    accumulates; moving the camera resets accumulation (main.cpp:678-681).
+    """
+
+    def __init__(self, scene: Scene, cfg: RenderConfig,
+                 camera: Optional[cam_mod.Camera] = None):
+        if cfg.intersector == "bvh" and scene.bvh is None:
+            from pathtracer.accel import lbvh
+
+            scene = lbvh.build_scene_bvh(scene)
+        self.scene = scene
+        self.cfg = cfg
+        self.camera = camera or cam_mod.Camera()
+        self.film = film_mod.new_film(cfg.width, cfg.height)
+
+    def reset(self):
+        self.film = film_mod.new_film(self.cfg.width, self.cfg.height)
+
+    def step(self) -> film_mod.Film:
+        if self.camera.moved:
+            self.reset()
+            self.camera.moved = False
+        self.film = render_step(self.scene, self.cfg, self.camera.state(),
+                                self.film)
+        return self.film
+
+    def run(self, n_frames: int) -> film_mod.Film:
+        for _ in range(n_frames):
+            self.step()
+        jax.block_until_ready(self.film.accum)
+        return self.film
+
+    def display(self) -> np.ndarray:
+        """Tone-mapped current image (u8-ready f32 [H,W,3] in [0,1])."""
+        return np.asarray(film_mod.to_display(self.film.accum))
+
+    def save_png(self, path: str):
+        film_mod.write_png(path, self.display())
+
+
+def render_progressive(scene: Scene, cfg: RenderConfig,
+                       camera: cam_mod.Camera, n_frames: int):
+    """Convenience: run n_frames of progressive accumulation, return film."""
+    r = Renderer(scene, cfg, camera)
+    return r.run(n_frames)

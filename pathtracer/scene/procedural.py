@@ -1,0 +1,255 @@
+"""Procedural scene generators for tests and benchmarks.
+
+The reference ships no scene assets in-repo (its glTF scene list,
+main.cpp:30-41, points at local files). These generators build the
+BASELINE.json bench configs from code:
+
+- `cornell_box`: config 1 golden scene (diffuse quads + area light, with
+  optional spheres / materials-suite variants for config 3).
+- `icosphere` / `bunny_like`: a ~70k-tri smooth blob standing in for the
+  Stanford bunny (config 2) - exercises LBVH build + traversal identically.
+- `sponza_like`: a colonnaded atrium at a target triangle count (~262k,
+  config 5) for the headline Mrays/s bench.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pathtracer.scene.build import MaterialDesc, SceneBuilder
+from pathtracer.scene.types import MAT_DIELECTRIC, MAT_LAMBERTIAN
+
+
+def _quad(p0, p1, p2, p3):
+    """Two triangles for quad corners (CCW). Returns (verts[4,3], idx[2,3])."""
+    verts = np.array([p0, p1, p2, p3], np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    return verts, idx
+
+
+def icosphere(radius=1.0, center=(0, 0, 0), subdivisions=3):
+    """Geodesic sphere: (verts [V,3], faces [F,3])."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+
+    for _ in range(subdivisions):
+        edge_mid = {}
+        new_faces = []
+        verts_list = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = verts_list[a] + verts_list[b]
+                m = m / np.linalg.norm(m)
+                edge_mid[key] = len(verts_list)
+                verts_list.append(m)
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.array(verts_list)
+        faces = np.array(new_faces, np.int64)
+
+    verts = verts * radius + np.asarray(center, np.float64)
+    return verts.astype(np.float32), faces
+
+
+def cornell_box(light_emission=15.0, spheres=False, materials_suite=False):
+    """The Cornell box (BASELINE config 1 / config 3 variant).
+
+    Box spans [0,1]^3 (open +z face toward the camera): white floor/ceiling/
+    back, red left wall, green right wall, area light on the ceiling.
+    With `spheres`, two diffuse icospheres; with `materials_suite`, a GGX
+    metal sphere + a dielectric glass sphere (config 3).
+    """
+    b = SceneBuilder()
+    white = b.add_material(MaterialDesc(albedo=(0.73, 0.73, 0.73)))
+    red = b.add_material(MaterialDesc(albedo=(0.65, 0.05, 0.05)))
+    green = b.add_material(MaterialDesc(albedo=(0.12, 0.45, 0.15)))
+    light = b.add_material(MaterialDesc(
+        albedo=(1.0, 1.0, 1.0),
+        emission=(light_emission,) * 3))
+
+    # floor (y=0, normal +y)
+    v, i = _quad([0, 0, 0], [0, 0, 1], [1, 0, 1], [1, 0, 0])
+    b.add_mesh(v, i, white)
+    # ceiling (y=1, normal -y)
+    v, i = _quad([0, 1, 0], [1, 1, 0], [1, 1, 1], [0, 1, 1])
+    b.add_mesh(v, i, white)
+    # back wall (z=0, normal +z)
+    v, i = _quad([0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0])
+    b.add_mesh(v, i, white)
+    # left wall (x=0, normal +x)
+    v, i = _quad([0, 0, 0], [0, 1, 0], [0, 1, 1], [0, 0, 1])
+    b.add_mesh(v, i, red)
+    # right wall (x=1, normal -x)
+    v, i = _quad([1, 0, 0], [1, 0, 1], [1, 1, 1], [1, 1, 0])
+    b.add_mesh(v, i, green)
+    # ceiling light: small quad slightly below ceiling, normal -y
+    e = 0.002
+    v, i = _quad([0.35, 1 - e, 0.35], [0.65, 1 - e, 0.35],
+                 [0.65, 1 - e, 0.65], [0.35, 1 - e, 0.65])
+    b.add_mesh(v, i, light)
+
+    if spheres or materials_suite:
+        if materials_suite:
+            m1 = b.add_material(MaterialDesc(
+                albedo=(0.95, 0.93, 0.88), metallic=1.0, roughness=0.15))
+            m2 = b.add_material(MaterialDesc(
+                albedo=(1.0, 1.0, 1.0), material_type=MAT_DIELECTRIC,
+                ior=1.5, roughness=0.05))
+        else:
+            m1 = b.add_material(MaterialDesc(albedo=(0.85, 0.85, 0.85)))
+            m2 = b.add_material(MaterialDesc(albedo=(0.3, 0.3, 0.7)))
+        sv, sf = icosphere(0.16, (0.33, 0.16, 0.4), 3)
+        b.add_mesh(sv, sf, m1)
+        sv, sf = icosphere(0.16, (0.67, 0.16, 0.65), 3)
+        b.add_mesh(sv, sf, m2)
+
+    return b
+
+
+def bunny_like(subdivisions=6):
+    """~70k-tri smooth blob on a ground plane (BASELINE config 2 stand-in).
+
+    A perturbed icosphere: same triangle count class and BVH shape as the
+    Stanford bunny without needing the asset.
+    """
+    b = SceneBuilder()
+    grey = b.add_material(MaterialDesc(albedo=(0.7, 0.7, 0.7)))
+    body = b.add_material(MaterialDesc(albedo=(0.65, 0.55, 0.45)))
+    light = b.add_material(MaterialDesc(albedo=(1, 1, 1), emission=(8, 8, 8)))
+
+    v, i = _quad([-4, 0, -4], [-4, 0, 4], [4, 0, 4], [4, 0, -4])
+    b.add_mesh(v, i, grey)
+
+    sv, sf = icosphere(1.0, (0, 0, 0), subdivisions)
+    # lumpy displacement (deterministic) to break the perfect sphere
+    d = (1.0
+         + 0.15 * np.sin(3.0 * sv[:, 0]) * np.cos(2.0 * sv[:, 1])
+         + 0.1 * np.sin(5.0 * sv[:, 2] + 1.0))
+    sv = sv * d[:, None]
+    sv[:, 1] += 1.2
+    b.add_mesh(sv, sf, body)
+
+    v, i = _quad([-1, 3.5, -1], [1, 3.5, -1], [1, 3.5, 1], [-1, 3.5, 1])
+    b.add_mesh(v, i, light)
+    return b
+
+
+def sponza_like(target_tris=262_000, seed=0):
+    """Colonnaded atrium at ~target_tris triangles (BASELINE config 5).
+
+    Floor + walls + two rows of columns (subdivided cylinders) + a ceiling
+    aperture light + scattered boxes: a closed, multi-bounce-heavy interior
+    in the Crytek Sponza triangle-count class.
+    """
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    stone = b.add_material(MaterialDesc(albedo=(0.55, 0.5, 0.45)))
+    floor_m = b.add_material(MaterialDesc(albedo=(0.4, 0.38, 0.35),
+                                          roughness=0.6))
+    fabric = b.add_material(MaterialDesc(albedo=(0.5, 0.1, 0.1)))
+    light = b.add_material(MaterialDesc(albedo=(1, 1, 1), emission=(12, 12, 12)))
+
+    def add_box(lo, hi, mat, sub=1):
+        lo = np.asarray(lo, np.float32)
+        hi = np.asarray(hi, np.float32)
+        # subdivided box faces
+        for axis in range(3):
+            for side in (0, 1):
+                a1, a2 = [(1, 2), (0, 2), (0, 1)][axis]
+                u = np.linspace(lo[a1], hi[a1], sub + 1)
+                v = np.linspace(lo[a2], hi[a2], sub + 1)
+                uu, vv = np.meshgrid(u, v, indexing="ij")
+                pts = np.zeros(uu.shape + (3,), np.float32)
+                pts[..., a1] = uu
+                pts[..., a2] = vv
+                pts[..., axis] = hi[axis] if side else lo[axis]
+                verts = pts.reshape(-1, 3)
+                idx = []
+                for ii in range(sub):
+                    for jj in range(sub):
+                        k = ii * (sub + 1) + jj
+                        if side == (axis != 1):
+                            idx += [[k, k + 1, k + sub + 2],
+                                    [k, k + sub + 2, k + sub + 1]]
+                        else:
+                            idx += [[k, k + sub + 2, k + 1],
+                                    [k, k + sub + 1, k + sub + 2]]
+                b.add_mesh(verts, np.array(idx, np.int64), mat)
+
+    def add_cylinder(center, radius, height, mat, segments, stacks):
+        cx, cy, cz = center
+        theta = np.linspace(0, 2 * np.pi, segments, endpoint=False)
+        ys = np.linspace(0, height, stacks + 1)
+        ring = np.stack([np.cos(theta), np.sin(theta)], axis=-1) * radius
+        verts = []
+        for y in ys:
+            for rx, rz in ring:
+                verts.append([cx + rx, cy + y, cz + rz])
+        verts = np.array(verts, np.float32)
+        idx = []
+        for s in range(stacks):
+            for k in range(segments):
+                a = s * segments + k
+                bb = s * segments + (k + 1) % segments
+                c = a + segments
+                dd = bb + segments
+                idx += [[a, bb, dd], [a, dd, c]]
+        b.add_mesh(verts, np.array(idx, np.int64), mat)
+
+    # atrium shell: 24 x 10 x 12
+    W, H, D = 24.0, 10.0, 12.0
+    add_box([0, -0.5, 0], [W, 0, D], floor_m, sub=12)          # floor slab
+    add_box([0, 0, -0.5], [W, H, 0], stone, sub=10)            # back wall
+    add_box([0, 0, D], [W, H, D + 0.5], stone, sub=10)         # front wall
+    add_box([-0.5, 0, 0], [0, H, D], stone, sub=8)             # left wall
+    add_box([W, 0, 0], [W + 0.5, H, D], stone, sub=8)          # right wall
+    # ceiling with central aperture (4 slabs)
+    add_box([0, H, 0], [W, H + 0.5, 3], stone, sub=6)
+    add_box([0, H, D - 3], [W, H + 0.5, D], stone, sub=6)
+    add_box([0, H, 3], [6, H + 0.5, D - 3], stone, sub=6)
+    add_box([W - 6, H, 3], [W, H + 0.5, D - 3], stone, sub=6)
+    # light panel across the aperture
+    v, i = _quad([6, H - 0.02, 3], [W - 6, H - 0.02, 3],
+                 [W - 6, H - 0.02, D - 3], [6, H - 0.02, D - 3])
+    b.add_mesh(v, i, light)
+
+    # columns: two rows; tessellation tuned to reach the target tri count.
+    n_cols = 12
+    current = sum(len(ix) for ix in b._indices)
+    remaining = max(target_tris - current - 20_000, 40_000)
+    seg_budget = remaining // (n_cols * 2)  # tris per column ~= 2*seg*stacks
+    segments = max(12, int(np.sqrt(seg_budget / 2 * (64 / 24))))
+    stacks = max(6, seg_budget // (2 * segments))
+    for r, z in ((0, 3.0), (1, D - 3.0)):
+        for k in range(n_cols):
+            x = W * (k + 0.5) / n_cols
+            add_cylinder((x, 0, z), 0.45, H - 1.0, stone, segments, stacks)
+            add_box([x - 0.6, H - 1.0, z - 0.6], [x + 0.6, H, z + 0.6],
+                    stone, sub=2)
+
+    # scattered crates + hanging fabric strips
+    for _ in range(40):
+        x = rng.uniform(2, W - 2)
+        z = rng.uniform(1, D - 1)
+        s = rng.uniform(0.3, 0.9)
+        add_box([x - s, 0, z - s], [x + s, rng.uniform(0.5, 1.8), z + s],
+                stone if rng.random() < 0.5 else fabric, sub=3)
+
+    return b

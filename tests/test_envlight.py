@@ -1,0 +1,83 @@
+"""Environment-map importance sampling tests (BASELINE config 4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pathtracer.scene import envlight
+
+
+def _sphere_integral_check(env):
+    """MC-estimate int L dw via the sampler; compare to quadrature."""
+    mcdf, ccdf, pdf = envlight.build_env_distribution(env)
+    n = 1 << 14
+    rng = np.random.default_rng(0)
+    u = rng.uniform(size=(4, n)).astype(np.float32)
+    d, r, c = envlight.sample_env(jnp.asarray(mcdf), jnp.asarray(ccdf),
+                                  *[jnp.asarray(x) for x in u])
+    p = np.asarray(envlight.env_pdf(jnp.asarray(pdf), d))
+    # estimate integral of luminance: E[lum(dir)/pdf]
+    h, w = env.shape[:2]
+    lum_map = env @ np.array([0.2126, 0.7152, 0.0722])
+    lum = lum_map[np.asarray(r), np.asarray(c)]
+    est = float(np.mean(lum / np.maximum(p, 1e-12)))
+
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    dw = (np.pi / h) * (2 * np.pi / w) * np.sin(theta)[:, None]
+    ref = float((lum_map * dw).sum())
+    return est, ref
+
+
+def test_sampler_integrates_constant():
+    env = np.ones((8, 16, 3), np.float32)
+    est, ref = _sphere_integral_check(env)
+    assert abs(est - ref) / ref < 0.02
+    # midpoint quadrature at 8 rows overestimates int sin by ~0.6%
+    assert abs(ref - 4 * np.pi) < 0.15  # sanity: int of 1 over sphere
+
+
+def test_sampler_integrates_hotspot():
+    """A 1000x hotspot: importance sampling still integrates correctly."""
+    env = np.ones((16, 32, 3), np.float32) * 0.01
+    env[4, 7] = 1000.0
+    est, ref = _sphere_integral_check(env)
+    assert abs(est - ref) / ref < 0.05
+
+
+def test_sampler_prefers_bright_texels():
+    env = np.ones((16, 32, 3), np.float32) * 0.01
+    env[4, 7] = 1000.0
+    mcdf, ccdf, pdf = envlight.build_env_distribution(env)
+    rng = np.random.default_rng(1)
+    u = rng.uniform(size=(4, 4096)).astype(np.float32)
+    d, r, c = envlight.sample_env(jnp.asarray(mcdf), jnp.asarray(ccdf),
+                                  *[jnp.asarray(x) for x in u])
+    frac = float(np.mean((np.asarray(r) == 4) & (np.asarray(c) == 7)))
+    assert frac > 0.9  # nearly all samples target the hotspot
+
+
+def test_pdf_normalizes():
+    env = np.abs(np.random.default_rng(2).normal(
+        size=(8, 16, 3))).astype(np.float32)
+    _, _, pdf = envlight.build_env_distribution(env)
+    h, w = pdf.shape
+    theta = (np.arange(h) + 0.5) / h * np.pi
+    dw = (np.pi / h) * (2 * np.pi / w) * np.sin(theta)[:, None]
+    total = float((pdf * dw).sum())
+    assert abs(total - 1.0) < 1e-3
+
+
+def test_sample_dir_matches_texel():
+    """Sampled directions land in the texel they were drawn from."""
+    env = np.ones((8, 16, 3), np.float32)
+    mcdf, ccdf, pdf = envlight.build_env_distribution(env)
+    rng = np.random.default_rng(3)
+    u = rng.uniform(size=(4, 512)).astype(np.float32)
+    d, r, c = envlight.sample_env(jnp.asarray(mcdf), jnp.asarray(ccdf),
+                                  *[jnp.asarray(x) for x in u])
+    d = np.asarray(d)
+    theta = np.arccos(np.clip(d[:, 1], -1, 1))
+    phi = np.arctan2(d[:, 2], d[:, 0])
+    r2 = np.clip((theta / np.pi * 8).astype(int), 0, 7)
+    c2 = np.clip(((phi / (2 * np.pi) + 0.5) * 16).astype(int), 0, 15)
+    assert (r2 == np.asarray(r)).mean() > 0.99
+    assert (c2 == np.asarray(c)).mean() > 0.99
