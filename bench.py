@@ -31,17 +31,17 @@ def main():
     tris = int(os.environ.get("BENCH_TRIS", 262_000))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
 
-    from pathtracer.accel.lbvh import build_scene_bvh
+    from pathtracer.accel.cluster import build_scene_clusters
     from pathtracer.bench.harness import bench_scene
     from pathtracer.config import RenderConfig
     from pathtracer.integrator.camera import Camera
     from pathtracer.scene.procedural import sponza_like
 
     scene = sponza_like(target_tris=tris).finalize()
-    scene = build_scene_bvh(scene)
+    scene = build_scene_clusters(scene)
 
     cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6,
-                       intersector="bvh")
+                       intersector="cluster")
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
 

@@ -1,0 +1,77 @@
+"""Sweep packet-traversal parameters (tile size, CPI, sort) on hardware."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(fn, *args, reps=3):
+    float(jnp.sum(fn(*args)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(jnp.sum(fn(*args)))
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("PATHTRACER_CACHE",
+                       os.path.expanduser("~/.cache/pathtracer-jax")))
+
+    from pathtracer.accel.cluster import build_clusters
+    from pathtracer.integrator import camera as cam_mod
+    from pathtracer.integrator.camera import Camera
+    from pathtracer.kernels import packet
+    from pathtracer.scene.procedural import sponza_like
+
+    tris = int(os.environ.get("BENCH_TRIS", 20_000))
+    n = int(os.environ.get("BENCH_RAYS", 1 << 19))
+
+    scene = sponza_like(target_tris=tris).finalize()
+    tri_ids = jnp.arange(scene.n_tris)
+    v0, v1, v2 = scene.tri_vertices(tri_ids)
+    accel = build_clusters(v0, v1, v2)
+    print(f"tris={scene.n_tris} clusters={accel.n_clusters} "
+          f"K={accel.tris_per_cluster} rays={n}", flush=True)
+
+    cam = Camera(position=(3.0, 4.5, 6.0))
+    cam.look_at((14.0, 3.0, 6.0))
+    cs = cam.state()
+    pix = jnp.arange(n, dtype=jnp.int32)
+    samp = jnp.zeros((n,), jnp.uint32)
+    o, d = cam_mod.generate_primary_rays(cs, 1024, n // 1024, 70.0, pix,
+                                         samp, 0)
+    # bounce-like: origins at primary hits, random hemisphere dirs
+    key = jax.random.PRNGKey(0)
+    t = packet.intersect_clusters(accel, o, d, 1e-3, 1e20).t
+    hp = o + d * jnp.where(jnp.isfinite(t), t, 1.0)[:, None]
+    nd = jax.random.normal(key, (n, 3), jnp.float32)
+    nd = nd / jnp.linalg.norm(nd, axis=1, keepdims=True)
+    hp, nd = jax.block_until_ready((hp, nd))
+
+    configs = []
+    for tile in (128, 256, 512):
+        for cpi in (1, 4):
+            for sort in (False, True):
+                configs.append((tile, cpi, sort))
+
+    for tile, cpi, sort in configs:
+        fn = jax.jit(lambda o, d, tile=tile, cpi=cpi, sort=sort:
+                     packet.intersect_clusters(
+                         accel, o, d, 1e-3, 1e20, sort_rays=sort,
+                         tile_rays=tile, cpi=cpi, chunk_rays=32768).t)
+        dtp = timed(fn, o, d)
+        dtb = timed(fn, hp, nd)
+        print(f"tile={tile:4d} cpi={cpi} sort={int(sort)}: "
+              f"primary {n/dtp/1e6:7.1f} Mrays/s   "
+              f"bounce {n/dtb/1e6:7.1f} Mrays/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

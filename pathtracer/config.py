@@ -69,8 +69,9 @@ class RenderConfig:
     # BSDF pdf. Default False = the fixed, consistent estimator.
     reference_quirks: bool = False
 
-    # Intersection backend: "bvh" (LBVH traversal) or "brute" (O(n) oracle).
-    intersector: str = "bvh"
+    # Intersection backend: "cluster" (packet/tile traversal - the TPU fast
+    # path), "bvh" (threaded LBVH pointer chase), or "brute" (O(n) oracle).
+    intersector: str = "cluster"
 
     # Ray-batch chunking: rays per jitted wavefront launch. 0 = whole frame.
     rays_per_chunk: int = 0
@@ -84,7 +85,7 @@ class RenderConfig:
             raise ValueError("max_depth must be positive")
         if self.sky not in ("gradient", "black", "hosek", "envmap"):
             raise ValueError(f"unknown sky model: {self.sky!r}")
-        if self.intersector not in ("bvh", "brute"):
+        if self.intersector not in ("cluster", "bvh", "brute"):
             raise ValueError(f"unknown intersector: {self.intersector!r}")
 
     @property

@@ -82,36 +82,69 @@ def _sample_texture(textures, tex_id, u, v):
     return a * (1 - fy) + b * fy
 
 
-def fetch_surface(scene: Scene, hit: Hit, quirks: bool) -> Surface:
-    """Closest-hit stage: vertex/material/texture fetch + interpolation.
+def pack_surface_rows(scene: Scene) -> jnp.ndarray:
+    """Pre-gather per-triangle shading attributes into ONE wide row.
 
-    Re-derivation of closesthit.rchit:68-125 as batched gathers. Invalid
-    (miss) lanes gather triangle 0; callers mask them out.
+    The naive closest-hit fetch is ~14 narrow gathers from large tables
+    (indices -> positions/normals/uvs/tangents x3 corners + face material),
+    which TPU gathers serialize at ~0.5 ms each (benchmarks/micro_tpu.py).
+    One [T, 24|32]-f32 row per triangle turns that into a single wide-row
+    gather. Position is NOT stored: it is reconstructed as o + t*d.
+
+    Row layout: n0 n1 n2 (9) | uv0 uv1 uv2 (6) | geom_normal (3) |
+    mid_bits (1) | light_pdf_area (1) | [tangents t0 t1 t2 (9)] | pad.
+    """
+    idx = scene.indices
+    i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+    p0 = scene.positions[i0]
+    p1 = scene.positions[i1]
+    p2 = scene.positions[i2]
+    gn = vmath.normalize(vmath.cross(p1 - p0, p2 - p0))
+    mid_bits = jax.lax.bitcast_convert_type(
+        scene.face_material.astype(jnp.int32), jnp.float32)
+    cols = [scene.normals[i0], scene.normals[i1], scene.normals[i2],
+            scene.uvs[i0], scene.uvs[i1], scene.uvs[i2],
+            gn, mid_bits[:, None], scene.tri_light_pdf_area[:, None]]
+    if scene.has_textures:
+        cols += [scene.tangents[i0], scene.tangents[i1], scene.tangents[i2]]
+    rows = jnp.concatenate(cols, axis=1)
+    pad = (-rows.shape[1]) % 8
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((rows.shape[0], pad), jnp.float32)], axis=1)
+    return rows
+
+
+def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
+                  quirks: bool) -> Surface:
+    """Closest-hit stage: attribute fetch + interpolation.
+
+    Re-derivation of closesthit.rchit:68-125 as ONE wide row-gather (see
+    pack_surface_rows). Invalid (miss) lanes gather triangle 0; callers
+    mask them out.
     """
     tri = jnp.maximum(hit.tri, 0)
-    idx = scene.indices[tri]                      # [N,3]
+    row = surf_rows[tri]                          # [N, F] single gather
     w1 = hit.u[..., None]
     w2 = hit.v[..., None]
     w0 = 1.0 - w1 - w2                            # closesthit.rchit:75
 
-    p0 = scene.positions[idx[..., 0]]
-    p1 = scene.positions[idx[..., 1]]
-    p2 = scene.positions[idx[..., 2]]
-    position = p0 * w0 + p1 * w1 + p2 * w2
+    t_safe = jnp.where(jnp.isfinite(hit.t), hit.t, 1.0)[..., None]
+    position = o + d * t_safe
 
-    n0 = scene.normals[idx[..., 0]]
-    n1 = scene.normals[idx[..., 1]]
-    n2 = scene.normals[idx[..., 2]]
+    n0 = row[:, 0:3]
+    n1 = row[:, 3:6]
+    n2 = row[:, 6:9]
     normal = vmath.normalize(n0 * w0 + n1 * w1 + n2 * w2)
 
-    uv0 = scene.uvs[idx[..., 0]]
-    uv1 = scene.uvs[idx[..., 1]]
-    uv2 = scene.uvs[idx[..., 2]]
+    uv0 = row[:, 9:11]
+    uv1 = row[:, 11:13]
+    uv2 = row[:, 13:15]
     uv = uv0 * w0 + uv1 * w1 + uv2 * w2
 
-    geom_normal = vmath.normalize(vmath.cross(p1 - p0, p2 - p0))
+    geom_normal = row[:, 15:18]
 
-    mid = scene.face_material[tri]
+    mid = jax.lax.bitcast_convert_type(row[:, 18], jnp.int32)
     albedo = scene.mat_albedo[mid]
     emission = scene.mat_emission[mid]
     roughness = scene.mat_roughness[mid]
@@ -137,9 +170,9 @@ def fetch_surface(scene: Scene, hit: Hit, quirks: bool) -> Surface:
         # Tangent-space normal map via Gram-Schmidt TBN
         # (closesthit.rchit:104-112).
         nt = scene.mat_normal_tex[mid]
-        t0 = scene.tangents[idx[..., 0]]
-        t1 = scene.tangents[idx[..., 1]]
-        t2 = scene.tangents[idx[..., 2]]
+        t0 = row[:, 20:23]
+        t1 = row[:, 23:26]
+        t2 = row[:, 26:29]
         tangent = vmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
         nm = _sample_texture(scene.textures, nt, u, v)[..., :3] * 2.0 - 1.0
         t_ortho = vmath.normalize(tangent - normal * vmath.dotk(normal, tangent))
@@ -165,7 +198,7 @@ def fetch_surface(scene: Scene, hit: Hit, quirks: bool) -> Surface:
         ior=scene.mat_ior[mid],
         alpha=jnp.clip(alpha, 0.0, 1.0),            # closesthit.rchit:122
         mat_type=scene.mat_type[mid],
-        light_pdf_area=scene.tri_light_pdf_area[tri],
+        light_pdf_area=row[:, 19],
     )
 
 
@@ -176,7 +209,7 @@ def _power_heuristic(pdf_a, pdf_b):
 
 
 def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
-             pixel, sample, depth, occluded_fn):
+             pixel, sample, depth, occluded_fn, shade=None):
     """Environment-map NEE with MIS (net-new; BASELINE config 4).
 
     One shadow ray toward a luminance-importance-sampled env direction.
@@ -193,7 +226,10 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
     ok = (n_dot_l > 0.0) & (p_env > 0.0)
 
     s_orig = surf.position + surf.normal * cfg.shadow_eps
-    blocked = occluded_fn(s_orig, l_dir, jnp.full(
+    valid = ok if shade is None else (ok & shade)
+    s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead lanes
+    l_dir_eff = jnp.where(valid[..., None], l_dir, 1.0)
+    blocked = occluded_fn(s_orig, l_dir_eff, jnp.full(
         l_dir.shape[:-1], 1e18, jnp.float32))
 
     le = sky_mod.envmap_radiance(scene.envmap, l_dir)
@@ -207,7 +243,7 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
 
 
 def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
-         pixel, sample, depth, occluded_fn):
+         pixel, sample, depth, occluded_fn, shade=None):
     """Next-event estimation (raygen.rgen:168-261). Returns contrib/T [N,3].
 
     view = unit vector from surface toward the previous vertex (-ray dir).
@@ -259,6 +295,9 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
         seg_len = jnp.sqrt(jnp.maximum(vmath.dot(seg, seg), 1e-20))
         s_dir = seg / seg_len[..., None]
         s_tmax = seg_len * (1.0 - 1e-3)
+    valid = geo_ok if shade is None else (geo_ok & shade)
+    s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead lanes
+    s_dir = jnp.where(valid[..., None], s_dir, 1.0)
     blocked = occluded_fn(s_orig, s_dir, s_tmax)
 
     f = mf.eval_brdf(surf.normal, view, l_dir, surf.albedo, surf.metallic,
@@ -290,23 +329,23 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     occluded_fn(o, d, t_max) -> bool[N]
     """
     n = origins.shape[0]
-    o = origins
-    d = directions
-    throughput = jnp.ones((n, 3), jnp.float32)
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    active = jnp.ones((n,), bool)
-    # Last BSDF solid-angle pdf, for MIS on emitter hits; inf marks delta
-    # segments (camera, dielectric, alpha passthrough) => weight 1.
-    prev_pdf = jnp.full((n,), jnp.inf, jnp.float32)
-
     gain = cfg.emission_gain
-    rays_traced = jnp.zeros((), jnp.float32)
     env_nee = (cfg.env_importance_sampling and cfg.sky == "envmap"
                and scene.has_envmap)
+    # One wide attribute row per triangle, packed once per frame (XLA CSEs
+    # the O(T) pack across bounces); see pack_surface_rows.
+    surf_rows = pack_surface_rows(scene)
 
-    for depth in range(cfg.max_depth):
+    def segment(carry, depth):
+        """Trace + emission collection shared by every bounce (incl. last)."""
+        o, d, throughput, radiance, active, prev_pdf, rays_traced = carry
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
-        hit = intersect_fn(o, d, cfg.t_min, cfg.t_max)
+        # Park dead lanes at +inf so the packet kernel's coherence sort
+        # groups them into all-dead tiles that terminate immediately
+        # (wavefront compaction without dynamic shapes).
+        o_eff = jnp.where(active[..., None], o, 1e30)
+        d_eff = jnp.where(active[..., None], d, 1.0)   # one shared octant
+        hit = intersect_fn(o_eff, d_eff, cfg.t_min, cfg.t_max)
         hit_ok = hit.valid & active
 
         # --- miss: environment (miss.rmiss; payload.done) ---
@@ -324,7 +363,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             missed[..., None], throughput * sky_rad, 0.0)
         active = hit_ok
 
-        surf = fetch_surface(scene, hit, cfg.reference_quirks)
+        surf = fetch_surface(scene, surf_rows, hit, o, d,
+                             cfg.reference_quirks)
 
         # --- emitter hit (raygen.rgen:132) ---
         if cfg.reference_quirks:
@@ -340,10 +380,17 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         radiance = radiance + jnp.where(
             hit_ok[..., None],
             throughput * surf.emission * gain * w_emit[..., None], 0.0)
+        carry = (o, d, throughput, radiance, active, prev_pdf, rays_traced)
+        return carry, surf
 
-        if depth == cfg.max_depth - 1:
-            break  # last segment only collects emission
+    def bounce(depth, carry):
+        """One full bounce: segment + NEE + BSDF continuation.
 
+        Compiled ONCE as a lax.fori_loop body (not unrolled per depth - the
+        depth index is traced; per-bounce RNG keys take it as a counter).
+        """
+        carry, surf = segment(carry, depth)
+        o, d, throughput, radiance, active, prev_pdf, rays_traced = carry
         view = -d
 
         # --- alpha stochastic transparency (raygen.rgen:143-146) ---
@@ -371,13 +418,13 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         shade = active & ~passthrough & ~is_dielectric
         if scene.has_lights:
             nee = _nee(scene, cfg, surf, view, pixel_ids, sample_ids, depth,
-                       occluded_fn)
+                       occluded_fn, shade)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * nee, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
         if env_nee:
             env_c = _nee_env(scene, cfg, surf, view, pixel_ids, sample_ids,
-                             depth, occluded_fn)
+                             depth, occluded_fn, shade)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * env_c, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
@@ -428,16 +475,41 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         active = active & (passthrough | is_dielectric | (shade & bsdf_ok))
 
         # --- Russian roulette (raygen.rgen:286-291) ---
-        if depth > cfg.rr_start_depth:
-            p = jnp.clip(vmath.maxc(throughput), cfg.rr_clamp_lo,
-                         cfg.rr_clamp_hi)
-            u_rr = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_RR,
-                                cfg.seed)
-            survive = u_rr <= p
-            rr_applies = active & ~passthrough & ~is_dielectric
-            active = active & (~rr_applies | survive)
-            throughput = jnp.where((rr_applies & survive)[..., None],
-                                   throughput / p[..., None], throughput)
+        # masked by (depth > rr_start_depth) instead of a python-level
+        # branch, so the bounce body stays depth-independent
+        p = jnp.clip(vmath.maxc(throughput), cfg.rr_clamp_lo,
+                     cfg.rr_clamp_hi)
+        u_rr = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_RR,
+                            cfg.seed)
+        survive = u_rr <= p
+        rr_applies = (active & ~passthrough & ~is_dielectric
+                      & (depth > cfg.rr_start_depth))
+        active = active & (~rr_applies | survive)
+        throughput = jnp.where((rr_applies & survive)[..., None],
+                               throughput / p[..., None], throughput)
         active = active & (vmath.maxc(throughput) >= cfg.throughput_cutoff)
+        return (o, d, throughput, radiance, active, prev_pdf, rays_traced)
 
+    # Carry inits derive data-dependence from the ray arrays so their
+    # varying-axes match the loop outputs under shard_map (same trick as
+    # kernels/traverse._like).
+    ref = (origins[..., 0] + directions[..., 0]
+           + pixel_ids.astype(jnp.float32) * 0.0
+           + sample_ids.astype(jnp.float32) * 0.0)
+    ref3 = ref[..., None] * jnp.zeros((3,), jnp.float32)
+    carry = (
+        origins + ref3, directions + ref3,
+        ref3 + 1.0,                                 # throughput
+        ref3,                                       # radiance
+        (ref * 0.0) < 1.0,                          # active (all True)
+        # Last BSDF solid-angle pdf, for MIS on emitter hits; inf marks delta
+        # segments (camera, dielectric, alpha passthrough) => weight 1.
+        ref * 0.0 + jnp.inf,                        # prev_pdf
+        jnp.sum(ref) * 0.0,                         # rays_traced
+    )
+    if cfg.max_depth > 1:
+        carry = jax.lax.fori_loop(0, cfg.max_depth - 1, bounce, carry)
+    # last segment only collects emission (raygen.rgen:128 loop tail)
+    carry, _ = segment(carry, cfg.max_depth - 1)
+    _, _, _, radiance, _, _, rays_traced = carry
     return radiance, rays_traced

@@ -1,0 +1,377 @@
+"""Packet (tile) traversal over the flat cluster accel.
+
+The TPU-native replacement for hardware BVH traversal (raygen.rgen:129,
+shadow walk raygen.rgen:206-231), designed from measured v5e behavior
+(see accel/cluster.py and benchmarks/micro_tpu.py): per-ray pointer chasing
+is ~1000x slower than dense VPU testing, so ALL control flow here is
+per-TILE (a tile = TILE_RAYS consecutive rays), amortizing every irregular
+access over the whole tile:
+
+1. **Coherence sort** - each chunk's rays are sorted by direction octant +
+   origin Morton code so that a tile's rays want the same clusters. Sorting
+   and the permute/unpermute gathers all act on chunk-local (small) tables,
+   the fast-gather regime. Primary rays additionally arrive in swizzled
+   pixel-block order (render.py).
+2. **Dense cull** - slab-test every ray against every cluster AABB
+   ([N, C] at ~256 Gtests/s), reduced on the fly to a per-tile matrix
+   `tile_tnear[tiles, C]` = min entry distance over the tile's rays that
+   hit the cluster (inf where no ray hits).
+3. **Near-to-far tile iteration** - a while_loop where each live tile
+   extracts its CLUSTERS_PER_ITER nearest unvisited clusters (argmins over
+   [tiles, C] - tiny), fetches those pre-baked triangle blocks with a
+   per-TILE gather ([tiles, CPI] rows of K*48 B - small-table wide-row
+   regime), and Moller-Trumbore-tests all TILE_RAYS x CPI*K pairs densely.
+   Extracting an exhausted slot re-tests cluster 0: harmless (real
+   intersections only ever refine the result) and keeps shapes static.
+4. **Termination** - a tile stops when its nearest remaining cluster lies
+   beyond every ray's current best hit (or, for shadow rays, when every
+   lane is already blocked). Lockstep cost is max tile-union size, not
+   max per-ray path length.
+
+No take_along_axis anywhere: best-of-K extraction is argmin + iota-compare
+one-hot sums (take_along_axis lowers to a ~0.5 ms serialized gather).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer.accel.cluster import ClusterAccel
+from pathtracer.kernels.intersect import DET_EPS, Hit
+
+TILE_RAYS = 128          # rays per tile (packet width)
+CHUNK_TILES = 256        # tiles per chunked launch (32768 rays)
+CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
+CLUSTERS_PER_ITER = 4    # clusters each tile opens per loop iteration
+
+
+def _safe_inv(d):
+    tiny = 1e-20
+    d_safe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
+    return 1.0 / d_safe
+
+
+def _like(ref, value, dtype):
+    """Constant with data-dependence on `ref` (shard_map carry-type trick)."""
+    return (ref * 0).astype(dtype) + jnp.asarray(value, dtype)
+
+
+def _coherence_order(accel: ClusterAccel, o, d):
+    """Sort permutation grouping rays by direction octant + origin Morton.
+
+    Chunk-local argsort of u32 keys; all downstream permutes gather from
+    chunk-sized (small) tables. Returns (order, inv_order).
+    """
+    from pathtracer.accel import morton as morton_mod
+
+    finite = accel.aabb_lo[:, 0] < 1e29           # skip pad clusters
+    lo = jnp.min(jnp.where(finite[:, None], accel.aabb_lo, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(finite[:, None], accel.aabb_hi, -jnp.inf), axis=0)
+    octant = ((d[:, 0] > 0).astype(jnp.uint32)
+              + 2 * (d[:, 1] > 0).astype(jnp.uint32)
+              + 4 * (d[:, 2] > 0).astype(jnp.uint32))
+    m = morton_mod.morton_codes(o, lo=lo, hi=hi)  # 30-bit
+    key = (octant << jnp.uint32(24)) | (m >> jnp.uint32(6))
+    order = jnp.argsort(key).astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    return order, inv
+
+
+def _tile_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
+               tile_rays):
+    """Dense per-ray slab test reduced to per-tile nearest-entry matrix.
+
+    Returns tile_tnear f32[n_tiles, C]: min over the tile's hitting rays of
+    the cluster entry distance; +inf where no ray in the tile hits. Blocked
+    over the cluster axis so transients stay at [tiles, R, CULL_BLOCK].
+    """
+    inv_d = _safe_inv(d)
+    ot = o.reshape(n_tiles, tile_rays, 1, 3)
+    it = inv_d.reshape(n_tiles, tile_rays, 1, 3)
+    tmx = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],)) \
+        .reshape(n_tiles, tile_rays, 1)
+
+    c = accel.aabb_lo.shape[0]
+    pad = (-c) % CULL_BLOCK
+    lo_all = accel.aabb_lo
+    hi_all = accel.aabb_hi
+    if pad:
+        far = jnp.full((pad, 3), 1e30, jnp.float32)
+        lo_all = jnp.concatenate([lo_all, far])
+        hi_all = jnp.concatenate([hi_all, far])
+    nb = lo_all.shape[0] // CULL_BLOCK
+    lo_b = lo_all.reshape(nb, CULL_BLOCK, 3)
+    hi_b = hi_all.reshape(nb, CULL_BLOCK, 3)
+
+    def block(args):
+        lo, hi = args
+        t1 = (lo[None, None] - ot) * it
+        t2 = (hi[None, None] - ot) * it
+        t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)   # [tiles, R, B]
+        t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= tmx)
+        entry = jnp.where(hit, jnp.maximum(t_near, 0.0), jnp.inf)
+        return jnp.min(entry, axis=1)                    # [tiles, B]
+
+    if nb == 1:
+        tile_tnear = block((lo_b[0], hi_b[0]))
+    else:
+        tile_tnear = jax.lax.map(block, (lo_b, hi_b))    # [nb, tiles, B]
+        tile_tnear = jnp.moveaxis(tile_tnear, 0, 1) \
+            .reshape(n_tiles, nb * CULL_BLOCK)
+    return tile_tnear[:, :c]                             # [tiles, C]
+
+
+def _extract_nearest(rem, cols, n):
+    """Pop the n nearest remaining clusters per tile (argmin + mask).
+
+    Returns (cids i32[tiles, n], first_min f32[tiles], rem updated).
+    Exhausted slots yield cluster 0 (harmless re-test).
+    """
+    cids = []
+    first_min = None
+    for _ in range(n):
+        cid = jnp.argmin(rem, axis=1)
+        if first_min is None:
+            first_min = jnp.min(rem, axis=1)
+        cids.append(cid)
+        rem = jnp.where(cols == cid[:, None], jnp.inf, rem)
+    return jnp.stack(cids, axis=1), first_min, rem
+
+
+def _mt_closest(block, o, d, t_min, t_max):
+    """MT test of a tile's rays against its fetched cluster blocks.
+
+    block: f32[tiles, Kc, 12]; o/d: f32[tiles, R, 3]; t_max: f32[tiles, R].
+    Returns (t, u, v, tri_id) of the best hit per ray ([tiles, R] each).
+    """
+    v0 = block[:, None, :, 0:3]              # [tiles, 1, Kc, 3]
+    e1 = block[:, None, :, 3:6]
+    e2 = block[:, None, :, 6:9]
+    tid = jax.lax.bitcast_convert_type(block[:, :, 9], jnp.int32)
+
+    ob = o[:, :, None, :]                    # [tiles, R, 1, 3]
+    db = d[:, :, None, :]
+    pvec = jnp.cross(db, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)        # [tiles, R, Kc]
+    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
+    tvec = ob - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(db * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    ok = ((jnp.abs(det) > DET_EPS)
+          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > t_min) & (t < t_max[:, :, None]))
+    t = jnp.where(ok, t, jnp.inf)
+    tj = jnp.min(t, axis=-1)                          # [tiles, R]
+    j = jnp.argmin(t, axis=-1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 2)
+    sel = k_iota == j[..., None]
+    self32 = sel.astype(jnp.float32)
+    uj = jnp.sum(u * self32, axis=-1)
+    vj = jnp.sum(v * self32, axis=-1)
+    idj = jnp.sum(jnp.where(sel, tid[:, None, :], 0), axis=-1)
+    idj = jnp.where(jnp.isfinite(tj), idj, -1)
+    return tj, uj, vj, idj
+
+
+def _mt_any_front(block, o, d, t_max):
+    """Any front-facing hit below t_max (shadow policy raygen.rgen:214-218)."""
+    v0 = block[:, None, :, 0:3]
+    e1 = block[:, None, :, 3:6]
+    e2 = block[:, None, :, 6:9]
+    ob = o[:, :, None, :]
+    db = d[:, :, None, :]
+    pvec = jnp.cross(db, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
+    tvec = ob - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(db * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    gn = jnp.cross(e1, e2)
+    front = jnp.sum(db * gn, axis=-1) < 0.0
+    ok = ((jnp.abs(det) > DET_EPS)
+          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > 0.0) & (t < t_max[:, :, None]) & front)
+    return jnp.any(ok, axis=-1)                       # [tiles, R]
+
+
+def _fetch_blocks(accel, cids):
+    """Gather + flatten CPI cluster blocks per tile: [tiles, CPI*K, 12]."""
+    blk = accel.blocks[cids]                 # [tiles, CPI, K, 12]
+    s = blk.shape
+    return blk.reshape(s[0], s[1] * s[2], s[3])
+
+
+def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
+                     tile_rays, cpi):
+    def run(rays):
+        o_in, d_in = rays
+        n = o_in.shape[0]
+        n_tiles = n // tile_rays
+        ref = o_in[..., 0] + d_in[..., 0]
+
+        if sort_rays:
+            order, inv = _coherence_order(accel, o_in, d_in)
+            o = o_in[order]
+            d = d_in[order]
+        else:
+            o, d = o_in, d_in
+
+        tile_tnear = _tile_cull(accel, o, d, t_min, t_max, n_tiles, tile_rays)
+        ot = o.reshape(n_tiles, tile_rays, 3)
+        dt = d.reshape(n_tiles, tile_rays, 3)
+
+        state = (
+            tile_tnear,
+            _like(ref, t_max, jnp.float32).reshape(n_tiles, tile_rays),
+            _like(ref, -1, jnp.int32).reshape(n_tiles, tile_rays),
+            _like(ref, 0.0, jnp.float32).reshape(n_tiles, tile_rays),
+            _like(ref, 0.0, jnp.float32).reshape(n_tiles, tile_rays),
+        )
+        cols = jnp.arange(tile_tnear.shape[1])[None, :]
+
+        def cond(state):
+            rem, best_t, *_ = state
+            # a tile is live while its nearest unvisited cluster could still
+            # beat SOME ray's current best hit
+            nearest = jnp.min(rem, axis=1)            # [tiles]
+            return jnp.any(nearest < jnp.max(best_t, axis=1))
+
+        def body(state):
+            rem, best_t, best_tri, best_u, best_v = state
+            cids, cmin, rem = _extract_nearest(rem, cols, cpi)
+            live = cmin < jnp.max(best_t, axis=1)     # [tiles]
+
+            block = _fetch_blocks(accel, cids)
+            t, u, v, tri = _mt_closest(block, ot, dt, t_min, best_t)
+            better = live[:, None] & (t < best_t) & (tri >= 0)
+            best_t = jnp.where(better, t, best_t)
+            best_tri = jnp.where(better, tri, best_tri)
+            best_u = jnp.where(better, u, best_u)
+            best_v = jnp.where(better, v, best_v)
+            return rem, best_t, best_tri, best_u, best_v
+
+        _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
+            cond, body, state)
+        best_t = jnp.where(best_tri >= 0, best_t, jnp.inf)
+        hit = Hit(t=best_t.reshape(n), tri=best_tri.reshape(n),
+                  u=best_u.reshape(n), v=best_v.reshape(n))
+        if sort_rays:
+            hit = Hit(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv],
+                      v=hit.v[inv])
+        return hit
+
+    return run
+
+
+def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi):
+    def run(rays):
+        o_in, d_in, tmax_in = rays
+        n = o_in.shape[0]
+        n_tiles = n // tile_rays
+        ref = o_in[..., 0] + d_in[..., 0]
+
+        if sort_rays:
+            order, inv = _coherence_order(accel, o_in, d_in)
+            o = o_in[order]
+            d = d_in[order]
+            t_max = tmax_in[order]
+        else:
+            o, d, t_max = o_in, d_in, tmax_in
+
+        tile_tnear = _tile_cull(accel, o, d, 0.0, t_max, n_tiles, tile_rays)
+        ot = o.reshape(n_tiles, tile_rays, 3)
+        dt = d.reshape(n_tiles, tile_rays, 3)
+        tm = t_max.reshape(n_tiles, tile_rays)
+
+        state = (
+            tile_tnear,
+            _like(ref, 0, jnp.int32).astype(bool).reshape(n_tiles, tile_rays),
+        )
+        cols = jnp.arange(tile_tnear.shape[1])[None, :]
+
+        def cond(state):
+            rem, blocked = state
+            has_rem = jnp.min(rem, axis=1) < jnp.inf
+            return jnp.any(has_rem & jnp.any(~blocked, axis=1))
+
+        def body(state):
+            rem, blocked = state
+            alive_tile = jnp.any(~blocked, axis=1)
+            rem = jnp.where(~alive_tile[:, None], jnp.inf, rem)
+            cids, cmin, rem = _extract_nearest(rem, cols, cpi)
+            live = (cmin < jnp.inf) & alive_tile
+
+            block = _fetch_blocks(accel, cids)
+            newly = _mt_any_front(block, ot, dt, tm)
+            blocked = blocked | (newly & live[:, None])
+            return rem, blocked
+
+        _, blocked = jax.lax.while_loop(cond, body, state)
+        blocked = blocked.reshape(n)
+        if sort_rays:
+            blocked = blocked[inv]
+        return blocked
+
+    return run
+
+
+def _pad_rays(arrs, n, tile_rays):
+    pad = (-n) % tile_rays
+    if pad:
+        arrs = tuple(
+            jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            for a in arrs)
+    return arrs, n + pad
+
+
+def _chunk_map(fn, rays, n, tile_rays, chunk_rays):
+    """lax.map over fixed-size chunks of the ray axis."""
+    chunk = chunk_rays
+    (rays, total) = _pad_rays(rays, n, tile_rays)
+    if total <= chunk:
+        out = fn(rays)
+        return jax.tree_util.tree_map(lambda x: x[:n], out)
+    pad = (-total) % chunk
+    if pad:
+        rays = tuple(
+            jnp.concatenate(
+                [r, jnp.broadcast_to(r[:1], (pad,) + r.shape[1:])])
+            for r in rays)
+        total += pad
+    c = total // chunk
+    chunked = tuple(r.reshape((c, chunk) + r.shape[1:]) for r in rays)
+    out = jax.lax.map(fn, chunked)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((total,) + x.shape[2:])[:n], out)
+
+
+def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
+                       sort_rays: bool = True, tile_rays: int = None,
+                       cpi: int = None, chunk_rays: int = None) -> Hit:
+    """Closest hit of rays o/d [N,3] via packet traversal."""
+    tile_rays = tile_rays or TILE_RAYS
+    cpi = cpi or CLUSTERS_PER_ITER
+    chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
+    return _chunk_map(
+        _intersect_chunk(accel, t_min, t_max, sort_rays, tile_rays, cpi),
+        (o, d), o.shape[0], tile_rays, chunk_rays)
+
+
+def occluded_clusters(accel: ClusterAccel, o, d, t_max,
+                      sort_rays: bool = True, tile_rays: int = None,
+                      cpi: int = None, chunk_rays: int = None):
+    """Any-hit (front-facing) visibility via packet traversal."""
+    tile_rays = tile_rays or TILE_RAYS
+    cpi = cpi or CLUSTERS_PER_ITER
+    chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
+    return _chunk_map(
+        _occluded_chunk(accel, sort_rays, tile_rays, cpi), (o, d, t_max),
+        o.shape[0], tile_rays, chunk_rays)

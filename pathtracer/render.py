@@ -22,6 +22,7 @@ from pathtracer.config import RenderConfig
 from pathtracer.integrator import camera as cam_mod
 from pathtracer.integrator import path as path_mod
 from pathtracer.kernels import intersect as isect
+from pathtracer.kernels import packet
 from pathtracer.kernels import traverse
 from pathtracer.scene.types import Scene
 
@@ -29,7 +30,19 @@ from pathtracer.scene.types import Scene
 def make_intersectors(scene: Scene, cfg: RenderConfig):
     """Build (intersect_fn, occluded_fn) closures for the chosen backend."""
     v0, v1, v2 = scene.tri_vertices(jnp.arange(scene.n_tris))
-    if cfg.intersector == "brute":
+    if cfg.intersector == "cluster":
+        if scene.clusters is None:
+            raise ValueError(
+                "cfg.intersector='cluster' but scene has no cluster accel; "
+                "call accel.cluster.build_scene_clusters(scene) first")
+        accel = scene.clusters
+
+        def intersect_fn(o, d, t_min, t_max):
+            return packet.intersect_clusters(accel, o, d, t_min, t_max)
+
+        def occluded_fn(o, d, t_max):
+            return packet.occluded_clusters(accel, o, d, t_max)
+    elif cfg.intersector == "brute":
         def intersect_fn(o, d, t_min, t_max):
             return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
 
@@ -40,16 +53,42 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             raise ValueError(
                 "cfg.intersector='bvh' but scene has no BVH; call "
                 "accel.lbvh.build_scene_bvh(scene) first")
+        # Packed once per frame; XLA CSEs the O(n) pack across all bounces.
+        packed = traverse.pack_bvh(scene.bvh, scene.indices, scene.positions)
 
         def intersect_fn(o, d, t_min, t_max):
-            return traverse.intersect_bvh(scene.bvh, scene.indices,
-                                          scene.positions, o, d, t_min, t_max)
+            return traverse.intersect_packed(packed, o, d, t_min, t_max)
 
         def occluded_fn(o, d, t_max):
-            return traverse.occluded_bvh(scene.bvh, scene.indices,
-                                         scene.positions, o, d, t_max)
+            return traverse.occluded_packed(packed, o, d, t_max)
 
     return intersect_fn, occluded_fn
+
+
+# Pixel-block swizzle: consecutive lanes cover BLOCK_W x BLOCK_H pixel
+# blocks, so each traversal tile (kernels/packet.TILE_RAYS = 128 rays) is a
+# compact screen rectangle instead of a scanline - tighter tile frusta,
+# smaller cluster unions. Pure index math + reshapes; pixel ids keep their
+# true row-major values so per-pixel RNG streams are swizzle-invariant.
+BLOCK_W = 16
+BLOCK_H = 8
+
+
+def _swizzled_pixel_ids(w: int, h: int):
+    """Flat pixel ids in (block_y, block_x, in_y, in_x) order, or None."""
+    if w % BLOCK_W or h % BLOCK_H:
+        return None
+    ys = jnp.arange(h).reshape(h // BLOCK_H, BLOCK_H)
+    xs = jnp.arange(w).reshape(w // BLOCK_W, BLOCK_W)
+    y = ys[:, None, :, None]                       # [by, 1, iy, 1]
+    x = xs[None, :, None, :]                       # [1, bx, 1, ix]
+    return (y * w + x).reshape(-1).astype(jnp.int32)
+
+
+def _unswizzle_image(img_flat, w: int, h: int):
+    """Invert _swizzled_pixel_ids ordering: [N, 3] lanes -> [H, W, 3]."""
+    img = img_flat.reshape(h // BLOCK_H, w // BLOCK_W, BLOCK_H, BLOCK_W, 3)
+    return img.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -64,7 +103,9 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
     intersect_fn, occluded_fn = make_intersectors(scene, cfg)
     w, h = cfg.width, cfg.height
     n = w * h
-    pixel_ids = jnp.arange(n, dtype=jnp.int32)
+    swizzled = _swizzled_pixel_ids(w, h)
+    pixel_ids = (swizzled if swizzled is not None
+                 else jnp.arange(n, dtype=jnp.int32))
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
 
     def one_spp(s):
@@ -81,6 +122,8 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
         radiance = radiance + r
         rays = rays + k
     radiance = radiance / cfg.spp                  # raygen.rgen:297
+    if swizzled is not None:
+        return _unswizzle_image(radiance, w, h), rays
     return radiance.reshape(h, w, 3), rays
 
 
@@ -113,6 +156,10 @@ class Renderer:
             from pathtracer.accel import lbvh
 
             scene = lbvh.build_scene_bvh(scene)
+        if cfg.intersector == "cluster" and scene.clusters is None:
+            from pathtracer.accel import cluster
+
+            scene = cluster.build_scene_clusters(scene)
         self.scene = scene
         self.cfg = cfg
         self.camera = camera or cam_mod.Camera()

@@ -103,8 +103,11 @@ class Scene:
     env_cond_cdf: jnp.ndarray      # f32 [EH, EW]
     env_pdf: jnp.ndarray           # f32 [EH, EW] solid-angle pdf
 
-    # Acceleration structure (None until built).
+    # Acceleration structures (None until built). `bvh` is the threaded
+    # LBVH (accel/lbvh.py); `clusters` is the flat cluster accel for packet
+    # traversal (accel/cluster.py) - the fast path on TPU.
     bvh: Optional[Bvh]
+    clusters: Optional[object] = None
 
     # --- static metadata (not traced) ---
     has_lights: bool = dataclasses.field(metadata=dict(static=True), default=False)
