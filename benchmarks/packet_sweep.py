@@ -33,44 +33,50 @@ def main():
     tris = int(os.environ.get("BENCH_TRIS", 20_000))
     n = int(os.environ.get("BENCH_RAYS", 1 << 19))
 
+    from pathtracer.render import _swizzled_pixel_ids
+
     scene = sponza_like(target_tris=tris).finalize()
     tri_ids = jnp.arange(scene.n_tris)
     v0, v1, v2 = scene.tri_vertices(tri_ids)
-    accel = build_clusters(v0, v1, v2)
-    print(f"tris={scene.n_tris} clusters={accel.n_clusters} "
-          f"K={accel.tris_per_cluster} rays={n}", flush=True)
 
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
     cs = cam.state()
-    pix = jnp.arange(n, dtype=jnp.int32)
+    w, h = 1024, n // 1024
+    pix = _swizzled_pixel_ids(w, h)            # block order, like render.py
     samp = jnp.zeros((n,), jnp.uint32)
-    o, d = cam_mod.generate_primary_rays(cs, 1024, n // 1024, 70.0, pix,
-                                         samp, 0)
+    o, d = cam_mod.generate_primary_rays(cs, w, h, 70.0, pix, samp, 0)
+
+    accels = {mc: build_clusters(v0, v1, v2, max_clusters=mc)
+              for mc in (1024, 2048)}
+    for mc, a in accels.items():
+        print(f"max_clusters={mc}: C={a.n_clusters} K={a.tris_per_cluster}",
+              flush=True)
+
     # bounce-like: origins at primary hits, random hemisphere dirs
     key = jax.random.PRNGKey(0)
-    t = packet.intersect_clusters(accel, o, d, 1e-3, 1e20).t
+    t = packet.intersect_clusters(accels[1024], o, d, 1e-3, 1e20).t
     hp = o + d * jnp.where(jnp.isfinite(t), t, 1.0)[:, None]
     nd = jax.random.normal(key, (n, 3), jnp.float32)
     nd = nd / jnp.linalg.norm(nd, axis=1, keepdims=True)
     hp, nd = jax.block_until_ready((hp, nd))
 
-    configs = []
-    for tile in (128, 256, 512):
-        for cpi in (1, 4):
-            for sort in (False, True):
-                configs.append((tile, cpi, sort))
-
-    for tile, cpi, sort in configs:
-        fn = jax.jit(lambda o, d, tile=tile, cpi=cpi, sort=sort:
-                     packet.intersect_clusters(
-                         accel, o, d, 1e-3, 1e20, sort_rays=sort,
-                         tile_rays=tile, cpi=cpi, chunk_rays=32768).t)
-        dtp = timed(fn, o, d)
-        dtb = timed(fn, hp, nd)
-        print(f"tile={tile:4d} cpi={cpi} sort={int(sort)}: "
-              f"primary {n/dtp/1e6:7.1f} Mrays/s   "
-              f"bounce {n/dtb/1e6:7.1f} Mrays/s", flush=True)
+    for mc in (1024, 2048):
+        for cpi in (1, 2, 4):
+            for chunk in (16384, 32768):
+                accel = accels[mc]
+                fn = jax.jit(
+                    lambda o, d, a=accel, cpi=cpi, chunk=chunk:
+                    packet.intersect_clusters(
+                        a, o, d, 1e-3, 1e20, sort_rays=True,
+                        tile_rays=256, cpi=cpi, chunk_rays=chunk,
+                        cull="ray").t)
+                dtp = timed(fn, o, d)
+                dtb = timed(fn, hp, nd)
+                print(f"K={accel.tris_per_cluster:3d} cpi={cpi} "
+                      f"chunk={chunk:5d}: "
+                      f"primary {n/dtp/1e6:7.1f} Mrays/s   "
+                      f"bounce {n/dtb/1e6:7.1f} Mrays/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -38,9 +38,15 @@ from pathtracer.scene.types import Scene
 _PAD_POS = 1e30
 
 
-def _choose_k(n_tris: int, max_clusters: int) -> int:
-    """Smallest power-of-two cluster size >= 16 with <= max_clusters."""
-    k = 16
+def _choose_k(n_tris: int, max_clusters: int, min_k: int = 128) -> int:
+    """Smallest power-of-two cluster size >= min_k with <= max_clusters.
+
+    min_k defaults to 128 = the VPU lane width: the Pallas sweep kernel
+    DMAs one [12, K] block per visit and tests it as a full-width
+    [R, K] vector op, so K < 128 only wastes lanes and forces unaligned
+    lane-sliced DMAs (which Mosaic rejects).
+    """
+    k = min_k
     while (n_tris + k - 1) // k > max_clusters:
         k *= 2
     return k
@@ -54,6 +60,9 @@ class ClusterAccel:
     aabb_lo: jnp.ndarray   # f32 [C, 3]
     aabb_hi: jnp.ndarray   # f32 [C, 3]
     blocks: jnp.ndarray    # f32 [C, K, 12]: v0, e1, e2, tri_id_bits, pad, pad
+    # Component-major copy for the Pallas sweep kernel: triangles on the
+    # lane axis, one [12, K] block DMA'd per (tile, cluster) visit.
+    blocks_t: jnp.ndarray  # f32 [C, 12, K]
 
     @property
     def n_clusters(self) -> int:
@@ -64,10 +73,11 @@ class ClusterAccel:
         return self.blocks.shape[1]
 
 
-def build_clusters(v0, v1, v2, max_clusters: int = 1024) -> ClusterAccel:
+def build_clusters(v0, v1, v2, max_clusters: int = 2048,
+                   min_k: int = 128) -> ClusterAccel:
     """Build the cluster accel over triangles v0/v1/v2: f32[T, 3]."""
     t = v0.shape[0]
-    k = _choose_k(t, max_clusters)
+    k = _choose_k(t, max_clusters, min_k)
     pad = (-t) % k
 
     centroids = (v0 + v1 + v2) / 3.0
@@ -116,10 +126,11 @@ def build_clusters(v0, v1, v2, max_clusters: int = 1024) -> ClusterAccel:
          jnp.zeros((sv0.shape[0], 2), jnp.float32)], axis=1)
     blocks = rows.reshape(c, k, 12)
 
-    return ClusterAccel(aabb_lo=aabb_lo, aabb_hi=aabb_hi, blocks=blocks)
+    return ClusterAccel(aabb_lo=aabb_lo, aabb_hi=aabb_hi, blocks=blocks,
+                        blocks_t=jnp.swapaxes(blocks, 1, 2))
 
 
-def build_scene_clusters(scene: Scene, max_clusters: int = 1024) -> Scene:
+def build_scene_clusters(scene: Scene, max_clusters: int = 2048) -> Scene:
     """Attach a ClusterAccel to the scene (packet-traversal accel)."""
     tri_ids = jnp.arange(scene.n_tris)
     v0, v1, v2 = scene.tri_vertices(tri_ids)

@@ -87,8 +87,11 @@ def main(argv=None):
     ap.add_argument("--sky", default="gradient",
                     choices=["gradient", "black", "hosek", "envmap"])
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--intersector", default="bvh",
-                    choices=["bvh", "brute"])
+    ap.add_argument("--intersector", default="cluster",
+                    choices=["cluster", "bvh", "brute"])
+    ap.add_argument("--traversal-backend", default="pallas",
+                    choices=["pallas", "xla"],
+                    help="cluster-sweep execution engine")
     ap.add_argument("--orbit", action="store_true",
                     help="orbit the camera (resets accumulation per frame)")
     ap.add_argument("--out", default="out.png",
@@ -101,7 +104,8 @@ def main(argv=None):
     scene = load_scene(args.scene)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, sky=args.sky,
-                       seed=args.seed, intersector=args.intersector)
+                       seed=args.seed, intersector=args.intersector,
+                       traversal_backend=args.traversal_backend)
     cam = default_camera(args.scene)
     r = Renderer(scene, cfg, cam)
 

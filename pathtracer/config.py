@@ -72,6 +72,10 @@ class RenderConfig:
     # Intersection backend: "cluster" (packet/tile traversal - the TPU fast
     # path), "bvh" (threaded LBVH pointer chase), or "brute" (O(n) oracle).
     intersector: str = "cluster"
+    # Cluster-sweep execution: "pallas" runs the per-tile sweep as one
+    # fused TPU kernel (kernels/pallas_sweep.py); "xla" uses the
+    # while_loop formulation (kernels/packet.py).
+    traversal_backend: str = "pallas"
 
     # Ray-batch chunking: rays per jitted wavefront launch. 0 = whole frame.
     rays_per_chunk: int = 0
@@ -87,6 +91,9 @@ class RenderConfig:
             raise ValueError(f"unknown sky model: {self.sky!r}")
         if self.intersector not in ("cluster", "bvh", "brute"):
             raise ValueError(f"unknown intersector: {self.intersector!r}")
+        if self.traversal_backend not in ("pallas", "xla"):
+            raise ValueError(
+                f"unknown traversal backend: {self.traversal_backend!r}")
 
     @property
     def n_pixels(self) -> int:

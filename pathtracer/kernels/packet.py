@@ -40,10 +40,17 @@ import jax.numpy as jnp
 from pathtracer.accel.cluster import ClusterAccel
 from pathtracer.kernels.intersect import DET_EPS, Hit
 
-TILE_RAYS = 128          # rays per tile (packet width)
-CHUNK_TILES = 256        # tiles per chunked launch (32768 rays)
+
+def _pallas_interpret():
+    """Interpret-mode fallback off-TPU (CPU tests run the same kernel)."""
+    import jax
+
+    return jax.devices()[0].platform not in ("tpu", "axon")
+
+TILE_RAYS = 256          # rays per tile (packet width; sweep optimum)
+CHUNK_TILES = 64         # tiles per chunked launch (16384 rays)
 CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
-CLUSTERS_PER_ITER = 4    # clusters each tile opens per loop iteration
+CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 
 
 def _safe_inv(d):
@@ -76,6 +83,24 @@ def _coherence_order(accel: ClusterAccel, o, d):
     order = jnp.argsort(key).astype(jnp.int32)
     inv = jnp.argsort(order).astype(jnp.int32)
     return order, inv
+
+
+def _scene_exit(accel: ClusterAccel, o, d, t_max):
+    """Per-ray exit distance from the scene root AABB (caps best_t).
+
+    A hit can never lie beyond the root box exit, so rays that miss all
+    geometry stop driving the sweep at the scene boundary instead of
+    t_max = 1e20. Rays missing the root box entirely get ~0.
+    """
+    finite = accel.aabb_lo[:, 0] < 1e29
+    lo = jnp.min(jnp.where(finite[:, None], accel.aabb_lo, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(finite[:, None], accel.aabb_hi, -jnp.inf), axis=0)
+    inv_d = _safe_inv(d)
+    t1 = (lo[None] - o) * inv_d
+    t2 = (hi[None] - o) * inv_d
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    cap = jnp.clip(t_far * 1.0001 + 1e-3, 0.0, t_max)
+    return jnp.broadcast_to(jnp.asarray(cap, jnp.float32), o.shape[:-1])
 
 
 def _tile_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
@@ -123,21 +148,67 @@ def _tile_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
     return tile_tnear[:, :c]                             # [tiles, C]
 
 
-def _extract_nearest(rem, cols, n):
-    """Pop the n nearest remaining clusters per tile (argmin + mask).
+def _frustum_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
+                  tile_rays):
+    """Conservative per-TILE interval slab test: [tiles, C] in one pass.
 
-    Returns (cids i32[tiles, n], first_min f32[tiles], rem updated).
-    Exhausted slots yield cluster 0 (harmless re-test).
+    Interval arithmetic over each tile's origin range and 1/direction range
+    (mixed-sign direction axes widen to +-huge = conservative pass). ~50
+    flops per (tile, cluster) - three orders of magnitude cheaper than the
+    per-ray cull, at the price of looser tile_tnear (more false-positive
+    cluster visits). The right trade once clusters are small.
     """
-    cids = []
-    first_min = None
-    for _ in range(n):
-        cid = jnp.argmin(rem, axis=1)
-        if first_min is None:
-            first_min = jnp.min(rem, axis=1)
-        cids.append(cid)
-        rem = jnp.where(cols == cid[:, None], jnp.inf, rem)
-    return jnp.stack(cids, axis=1), first_min, rem
+    inv_d = _safe_inv(d)
+    ot = o.reshape(n_tiles, tile_rays, 3)
+    it = inv_d.reshape(n_tiles, tile_rays, 3)
+    o_lo = jnp.min(ot, axis=1)[:, None, :]     # [tiles, 1, 3]
+    o_hi = jnp.max(ot, axis=1)[:, None, :]
+    i_lo = jnp.min(it, axis=1)[:, None, :]
+    i_hi = jnp.max(it, axis=1)[:, None, :]
+    tmx = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (o.shape[0],))
+    tmx = jnp.max(tmx.reshape(n_tiles, tile_rays), axis=1)   # [tiles]
+
+    lo = accel.aabb_lo[None]                   # [1, C, 3]
+    hi = accel.aabb_hi[None]
+
+    def iprod(a_lo, a_hi):
+        """Interval product (a_lo..a_hi) * (i_lo..i_hi): (lower, upper)."""
+        p1 = a_lo * i_lo
+        p2 = a_lo * i_hi
+        p3 = a_hi * i_lo
+        p4 = a_hi * i_hi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    t1_lo, t1_hi = iprod(lo - o_hi, lo - o_lo)          # [tiles, C, 3]
+    t2_lo, t2_hi = iprod(hi - o_hi, hi - o_lo)
+    near_lower = jnp.max(jnp.minimum(t1_lo, t2_lo), axis=-1)  # [tiles, C]
+    far_upper = jnp.min(jnp.maximum(t1_hi, t2_hi), axis=-1)
+    hit = ((near_lower <= far_upper) & (far_upper >= t_min)
+           & (near_lower <= tmx[:, None]))
+    return jnp.where(hit, jnp.maximum(near_lower, 0.0), jnp.inf)
+
+
+def _sorted_schedule(tile_tnear, cpi):
+    """Sort each tile's cluster list near-to-far ONCE, padded to cpi.
+
+    The traversal loop then just slices consecutive columns - no per-
+    iteration argmin/masking (small ops dominate loop-body cost on this
+    platform). Returns (sorted_tnear, sorted_cids) f32/i32 [tiles, C'].
+    """
+    tiles, c = tile_tnear.shape
+    pad = (-c) % cpi
+    if pad:
+        tile_tnear = jnp.concatenate(
+            [tile_tnear, jnp.full((tiles, pad), jnp.inf, jnp.float32)],
+            axis=1)
+    ids = jnp.broadcast_to(
+        jnp.arange(tile_tnear.shape[1], dtype=jnp.int32)[None, :],
+        tile_tnear.shape)
+    st, si = jax.lax.sort((tile_tnear, ids), dimension=1, num_keys=1)
+    # pad ids point past C; clamp to 0 (harmless re-test of cluster 0)
+    si = jnp.where(jnp.isfinite(st), si, 0)
+    return st, si
 
 
 def _mt_closest(block, o, d, t_min, t_max):
@@ -208,7 +279,7 @@ def _fetch_blocks(accel, cids):
 
 
 def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
-                     tile_rays, cpi):
+                     tile_rays, cpi, cull, backend="xla"):
     def run(rays):
         o_in, d_in = rays
         n = o_in.shape[0]
@@ -222,39 +293,63 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
         else:
             o, d = o_in, d_in
 
-        tile_tnear = _tile_cull(accel, o, d, t_min, t_max, n_tiles, tile_rays)
+        cull_fn = _frustum_cull if cull == "frustum" else _tile_cull
+        tile_tnear = cull_fn(accel, o, d, t_min, t_max, n_tiles,
+                             tile_rays)
         ot = o.reshape(n_tiles, tile_rays, 3)
         dt = d.reshape(n_tiles, tile_rays, 3)
 
+        t_cap = _scene_exit(accel, o, d, t_max).reshape(n_tiles, tile_rays)
+
+        if backend == "pallas":
+            from pathtracer.kernels import pallas_sweep
+
+            k = accel.blocks_t.shape[2]
+            p_cpi = max(1, pallas_sweep.LANES // k)
+            st, si = _sorted_schedule(tile_tnear, p_cpi)
+            rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
+            t, tri, u, v = pallas_sweep.sweep_closest(
+                st, si, rays6, t_cap, accel.blocks_t, t_min, t_max,
+                interpret=_pallas_interpret())
+            t = jnp.where(tri >= 0, t, jnp.inf)
+            hit = Hit(t=t.reshape(n), tri=tri.reshape(n),
+                      u=u.reshape(n), v=v.reshape(n))
+            if sort_rays:
+                hit = Hit(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv],
+                          v=hit.v[inv])
+            return hit
+
+        st, si = _sorted_schedule(tile_tnear, cpi)
+        n_cols = st.shape[1]
+
         state = (
-            tile_tnear,
-            _like(ref, t_max, jnp.float32).reshape(n_tiles, tile_rays),
+            _like(ref[0], 0, jnp.int32),              # column cursor
+            t_cap + _like(ref, 0.0, jnp.float32).reshape(n_tiles, tile_rays),
             _like(ref, -1, jnp.int32).reshape(n_tiles, tile_rays),
             _like(ref, 0.0, jnp.float32).reshape(n_tiles, tile_rays),
             _like(ref, 0.0, jnp.float32).reshape(n_tiles, tile_rays),
         )
-        cols = jnp.arange(tile_tnear.shape[1])[None, :]
 
         def cond(state):
-            rem, best_t, *_ = state
-            # a tile is live while its nearest unvisited cluster could still
+            j, best_t, *_ = state
+            # a tile is live while its next unvisited cluster could still
             # beat SOME ray's current best hit
-            nearest = jnp.min(rem, axis=1)            # [tiles]
-            return jnp.any(nearest < jnp.max(best_t, axis=1))
+            nearest = jax.lax.dynamic_slice_in_dim(st, j, 1, 1)[:, 0]
+            return (j < n_cols) & jnp.any(
+                nearest < jnp.max(best_t, axis=1))
 
         def body(state):
-            rem, best_t, best_tri, best_u, best_v = state
-            cids, cmin, rem = _extract_nearest(rem, cols, cpi)
-            live = cmin < jnp.max(best_t, axis=1)     # [tiles]
+            j, best_t, best_tri, best_u, best_v = state
+            cids = jax.lax.dynamic_slice_in_dim(si, j, cpi, 1)  # [tiles,cpi]
 
             block = _fetch_blocks(accel, cids)
             t, u, v, tri = _mt_closest(block, ot, dt, t_min, best_t)
-            better = live[:, None] & (t < best_t) & (tri >= 0)
+            better = (t < best_t) & (tri >= 0)
             best_t = jnp.where(better, t, best_t)
             best_tri = jnp.where(better, tri, best_tri)
             best_u = jnp.where(better, u, best_u)
             best_v = jnp.where(better, v, best_v)
-            return rem, best_t, best_tri, best_u, best_v
+            return j + cpi, best_t, best_tri, best_u, best_v
 
         _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
             cond, body, state)
@@ -269,7 +364,8 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
     return run
 
 
-def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi):
+def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
+                    backend="xla"):
     def run(rays):
         o_in, d_in, tmax_in = rays
         n = o_in.shape[0]
@@ -284,33 +380,52 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi):
         else:
             o, d, t_max = o_in, d_in, tmax_in
 
-        tile_tnear = _tile_cull(accel, o, d, 0.0, t_max, n_tiles, tile_rays)
+        cull_fn = _frustum_cull if cull == "frustum" else _tile_cull
+        tile_tnear = cull_fn(accel, o, d, 0.0, t_max, n_tiles,
+                             tile_rays)
         ot = o.reshape(n_tiles, tile_rays, 3)
         dt = d.reshape(n_tiles, tile_rays, 3)
         tm = t_max.reshape(n_tiles, tile_rays)
 
+        if backend == "pallas":
+            from pathtracer.kernels import pallas_sweep
+
+            k = accel.blocks_t.shape[2]
+            p_cpi = max(1, pallas_sweep.LANES // k)
+            st, si = _sorted_schedule(tile_tnear, p_cpi)
+            rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
+            blocked = pallas_sweep.sweep_occluded(
+                st, si, rays6, tm, accel.blocks_t,
+                interpret=_pallas_interpret()) > 0
+            blocked = blocked.reshape(n)
+            if sort_rays:
+                blocked = blocked[inv]
+            return blocked
+
+        st, si = _sorted_schedule(tile_tnear, cpi)
+        n_cols = st.shape[1]
+
         state = (
-            tile_tnear,
+            _like(ref[0], 0, jnp.int32),
             _like(ref, 0, jnp.int32).astype(bool).reshape(n_tiles, tile_rays),
         )
-        cols = jnp.arange(tile_tnear.shape[1])[None, :]
 
         def cond(state):
-            rem, blocked = state
-            has_rem = jnp.min(rem, axis=1) < jnp.inf
-            return jnp.any(has_rem & jnp.any(~blocked, axis=1))
+            j, blocked = state
+            nearest = jax.lax.dynamic_slice_in_dim(st, j, 1, 1)[:, 0]
+            live = (nearest < jnp.inf) & jnp.any(~blocked, axis=1)
+            return (j < n_cols) & jnp.any(live)
 
         def body(state):
-            rem, blocked = state
-            alive_tile = jnp.any(~blocked, axis=1)
-            rem = jnp.where(~alive_tile[:, None], jnp.inf, rem)
-            cids, cmin, rem = _extract_nearest(rem, cols, cpi)
-            live = (cmin < jnp.inf) & alive_tile
+            j, blocked = state
+            nearest = jax.lax.dynamic_slice_in_dim(st, j, 1, 1)[:, 0]
+            live = (nearest < jnp.inf) & jnp.any(~blocked, axis=1)
+            cids = jax.lax.dynamic_slice_in_dim(si, j, cpi, 1)
 
             block = _fetch_blocks(accel, cids)
             newly = _mt_any_front(block, ot, dt, tm)
             blocked = blocked | (newly & live[:, None])
-            return rem, blocked
+            return j + cpi, blocked
 
         _, blocked = jax.lax.while_loop(cond, body, state)
         blocked = blocked.reshape(n)
@@ -354,24 +469,27 @@ def _chunk_map(fn, rays, n, tile_rays, chunk_rays):
 
 def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
                        sort_rays: bool = True, tile_rays: int = None,
-                       cpi: int = None, chunk_rays: int = None) -> Hit:
+                       cpi: int = None, chunk_rays: int = None,
+                       cull: str = "ray", backend: str = "xla") -> Hit:
     """Closest hit of rays o/d [N,3] via packet traversal."""
     tile_rays = tile_rays or TILE_RAYS
     cpi = cpi or CLUSTERS_PER_ITER
     chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
     return _chunk_map(
-        _intersect_chunk(accel, t_min, t_max, sort_rays, tile_rays, cpi),
+        _intersect_chunk(accel, t_min, t_max, sort_rays, tile_rays, cpi,
+                         cull, backend),
         (o, d), o.shape[0], tile_rays, chunk_rays)
 
 
 def occluded_clusters(accel: ClusterAccel, o, d, t_max,
                       sort_rays: bool = True, tile_rays: int = None,
-                      cpi: int = None, chunk_rays: int = None):
+                      cpi: int = None, chunk_rays: int = None,
+                      cull: str = "ray", backend: str = "xla"):
     """Any-hit (front-facing) visibility via packet traversal."""
     tile_rays = tile_rays or TILE_RAYS
     cpi = cpi or CLUSTERS_PER_ITER
     chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
     return _chunk_map(
-        _occluded_chunk(accel, sort_rays, tile_rays, cpi), (o, d, t_max),
-        o.shape[0], tile_rays, chunk_rays)
+        _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend),
+        (o, d, t_max), o.shape[0], tile_rays, chunk_rays)

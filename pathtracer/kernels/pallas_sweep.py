@@ -1,0 +1,354 @@
+"""Pallas TPU sweep kernel: the packet-traversal inner loop as ONE kernel.
+
+Why this exists (measured, benchmarks/micro_tpu.py + packet sweeps): the
+XLA while_loop implementation of the per-tile cluster sweep pays a ~40 us
+fixed cost per loop iteration (the body is ~a dozen small dispatched ops),
+which caps traversal at ~6 Mrays/s regardless of how little work each
+iteration does. Moving the whole sweep into a single Pallas kernel makes
+an iteration a few VPU ops + one double-buffered DMA - and, because the
+grid walks tiles SEQUENTIALLY, each tile pays for ITS OWN schedule length
+(sum of unions) instead of the lockstep maximum across the chunk.
+
+Kernel layout per grid step (= one tile of R rays):
+  rays   f32[6, R]    VMEM  (ox oy oz dx dy dz - components on sublanes)
+  st     f32[1, Cs]   VMEM  per-tile near-to-far schedule entry distances
+  si     i32[1, Cs]   VMEM  matching cluster ids
+  blocks f32[C,12,K]  ANY   component-major triangle blocks, DMA'd
+                            CPI=128/K clusters per iteration into a
+                            double-buffered [12, 128] VMEM scratch
+  out    best (t, u, v, tri) f32/i32 [1, R]
+
+The in-kernel loop is a lax.while_loop whose carry is (column, live
+scalar); triangle tests are dense [R, 128] Moller-Trumbore on the VPU with
+argmin + iota-select extraction (no gathers anywhere).
+
+Falls back to interpret mode off-TPU (tests run it on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer.kernels.intersect import DET_EPS
+
+LANES = 128
+
+
+def _mt_lane(block, rays, t_min, best_t):
+    """Dense MT: block f32[12, L], rays f32[6, R] -> per-(ray, tri) t/u/v.
+
+    Returns (t, u, v) each f32[R, L]; t = +inf where no valid hit.
+    block rows: v0(3), e1(3), e2(3), id_bits, pad, pad.
+    """
+    r = rays.shape[1]
+
+    def rcomp(i):
+        return rays[i, :].reshape(r, 1)
+
+    def tcomp(i):
+        return block[i, :].reshape(1, -1)
+
+    ox, oy, oz = rcomp(0), rcomp(1), rcomp(2)
+    dx, dy, dz = rcomp(3), rcomp(4), rcomp(5)
+    v0x, v0y, v0z = tcomp(0), tcomp(1), tcomp(2)
+    e1x, e1y, e1z = tcomp(3), tcomp(4), tcomp(5)
+    e2x, e2y, e2z = tcomp(6), tcomp(7), tcomp(8)
+
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok = ((jnp.abs(det) > DET_EPS)
+          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+          & (t > t_min) & (t < best_t))
+    return jnp.where(ok, t, jnp.inf), u, v
+
+
+def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
+                  t_ref, tri_ref, u_ref, v_ref,
+                  scratch, sems, *, cpi, k, t_min, t_max, n_cols):
+    r = rays_ref.shape[2]
+    rays = rays_ref[0]                      # [6, R]
+
+    def start_dma(slot, col):
+        for q in range(cpi):
+            cid = si_ref[0, 0, col * cpi + q]
+            pltpu.make_async_copy(
+                blocks_ref.at[cid],
+                scratch.at[slot, :, q * k:(q + 1) * k],
+                sems.at[slot, q],
+            ).start()
+
+    def wait_dma(slot):
+        # reconstruct an equal-sized copy descriptor; .wait() blocks on the
+        # semaphore for the transfer's byte count (source id irrelevant)
+        for q in range(cpi):
+            pltpu.make_async_copy(
+                blocks_ref.at[0],
+                scratch.at[slot, :, q * k:(q + 1) * k],
+                sems.at[slot, q],
+            ).wait()
+
+    start_dma(0, 0)
+
+    tid_row = 9  # block row holding tri-id bits
+
+    def cond(carry):
+        col, best_t, best_tri, best_u, best_v, max_best = carry
+        return (col < n_cols) & (st_ref[0, 0, col * cpi] < max_best)
+
+    def body(carry):
+        col, best_t, best_tri, best_u, best_v, max_best = carry
+        slot = jax.lax.rem(col, 2)
+
+        @pl.when(col + 1 < n_cols)
+        def _():
+            start_dma(1 - slot, col + 1)
+
+        wait_dma(slot)
+        block = scratch[slot]
+        t, u, v = _mt_lane(block, rays, t_min, best_t)
+        tid = block[tid_row, :].reshape(1, -1)
+        tid = pltpu.bitcast(tid, jnp.int32)
+
+        tj = jnp.min(t, axis=1, keepdims=True)        # [R, 1]
+        j = jnp.argmin(t, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        sel = (lane == j).astype(jnp.float32)
+        uj = jnp.sum(u * sel, axis=1, keepdims=True)
+        vj = jnp.sum(v * sel, axis=1, keepdims=True)
+        idj = jnp.sum(jnp.where(lane == j, tid, 0), axis=1, keepdims=True)
+
+        better = (tj < best_t) & jnp.isfinite(tj) & (idj >= 0)
+        best_t = jnp.where(better, tj, best_t)
+        best_tri = jnp.where(better, idj, best_tri)
+        best_u = jnp.where(better, uj, best_u)
+        best_v = jnp.where(better, vj, best_v)
+        max_best = jnp.max(best_t)
+        return col + 1, best_t, best_tri, best_u, best_v, max_best
+
+    # best_t starts at the per-ray scene-exit cap (not t_max): rays that
+    # miss everything then stop steering the sweep past the scene bounds.
+    t_cap = tcap_ref[0, 0, :].reshape(r, 1)
+    init = (
+        jnp.int32(0),
+        t_cap,
+        jnp.full((r, 1), -1, jnp.int32),
+        jnp.zeros((r, 1), jnp.float32),
+        jnp.zeros((r, 1), jnp.float32),
+        jnp.max(t_cap),
+    )
+    col_f, best_t, best_tri, best_u, best_v, _ = jax.lax.while_loop(
+        cond, body, init)
+
+    # Drain the in-flight prefetch so the next grid step starts clean:
+    # on exit at column col_f < n_cols there is exactly one outstanding
+    # DMA group on slot col_f % 2 (the initial one if the loop never ran,
+    # else the prefetch issued while processing col_f - 1).
+    @pl.when(col_f < n_cols)
+    def _():
+        wait_dma(jax.lax.rem(col_f, 2))
+
+    t_ref[0, 0, :] = best_t[:, 0]
+    tri_ref[0, 0, :] = best_tri[:, 0]
+    u_ref[0, 0, :] = best_u[:, 0]
+    v_ref[0, 0, :] = best_v[:, 0]
+
+
+def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
+                 out_ref, scratch, sems, *, cpi, k, n_cols):
+    r = rays_ref.shape[2]
+    rays = rays_ref[0]                      # [6, R]
+    t_max = tm_ref[0, 0, :].reshape(r, 1)
+
+    def start_dma(slot, col):
+        for q in range(cpi):
+            cid = si_ref[0, 0, col * cpi + q]
+            pltpu.make_async_copy(
+                blocks_ref.at[cid],
+                scratch.at[slot, :, q * k:(q + 1) * k],
+                sems.at[slot, q],
+            ).start()
+
+    def wait_dma(slot):
+        # reconstruct an equal-sized copy descriptor; .wait() blocks on the
+        # semaphore for the transfer's byte count (source id irrelevant)
+        for q in range(cpi):
+            pltpu.make_async_copy(
+                blocks_ref.at[0],
+                scratch.at[slot, :, q * k:(q + 1) * k],
+                sems.at[slot, q],
+            ).wait()
+
+    start_dma(0, 0)
+
+    def cond(carry):
+        col, blocked, n_open = carry
+        return (col < n_cols) & (st_ref[0, 0, col * cpi] < jnp.inf) \
+            & (n_open > 0)
+
+    def body(carry):
+        col, blocked, n_open = carry
+        slot = jax.lax.rem(col, 2)
+
+        @pl.when(col + 1 < n_cols)
+        def _():
+            start_dma(1 - slot, col + 1)
+
+        wait_dma(slot)
+        block = scratch[slot]
+        t, u, v = _mt_lane(block, rays, 0.0, jnp.inf)
+
+        def tcomp(i):
+            return block[i, :].reshape(1, -1)
+
+        dx = rays[3, :].reshape(r, 1)
+        dy = rays[4, :].reshape(r, 1)
+        dz = rays[5, :].reshape(r, 1)
+        e1x, e1y, e1z = tcomp(3), tcomp(4), tcomp(5)
+        e2x, e2y, e2z = tcomp(6), tcomp(7), tcomp(8)
+        gnx = e1y * e2z - e1z * e2y
+        gny = e1z * e2x - e1x * e2z
+        gnz = e1x * e2y - e1y * e2x
+        front = (dx * gnx + dy * gny + dz * gnz) < 0.0
+        hit = jnp.isfinite(t) & front & (t < t_max)
+        # blocked is carried as i32: i1 vectors in while-carries fail to
+        # legalize in Mosaic
+        blocked = jnp.maximum(
+            blocked, jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32))
+        n_open = jnp.sum(1 - blocked)
+        return col + 1, blocked, n_open
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((r, 1), jnp.int32),
+        jnp.int32(r),
+    )
+    col_f, blocked, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(col_f < n_cols)
+    def _():
+        wait_dma(jax.lax.rem(col_f, 2))
+
+    out_ref[0, 0, :] = blocked[:, 0]
+
+
+def _pad_cols(st, si, cpi):
+    """Pad the schedule's column axis to a multiple of lcm(cpi, 128)."""
+    tiles, cs = st.shape
+    mult = max(cpi, LANES)
+    pad = (-cs) % mult
+    if pad:
+        st = jnp.concatenate(
+            [st, jnp.full((tiles, pad), jnp.inf, jnp.float32)], axis=1)
+        si = jnp.concatenate(
+            [si, jnp.zeros((tiles, pad), jnp.int32)], axis=1)
+    return st, si
+
+
+def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
+                  interpret=False):
+    """Run the closest-hit sweep kernel over all tiles.
+
+    st: f32[tiles, Cs] sorted schedule distances (inf-padded, Cs % cpi == 0)
+    si: i32[tiles, Cs] matching cluster ids (pads clamped to 0)
+    rays: f32[tiles, 6, R]; blocks_t: f32[C, 12, K].
+    Returns (t, tri, u, v) each [tiles, R].
+    """
+    k = blocks_t.shape[2]
+    cpi = max(1, LANES // k)
+    st, si = _pad_cols(st, si, cpi)
+    tiles, cs = st.shape
+    r = rays.shape[2]
+    n_cols = cs // cpi
+
+    kern = functools.partial(_sweep_kernel, cpi=cpi, k=k,
+                             t_min=float(t_min), t_max=float(t_max),
+                             n_cols=n_cols)
+    grid = (tiles,)
+    # Mosaic block rule: last two dims divisible by (8, 128) or equal to
+    # the array dims -> give every per-tile operand a unit middle axis.
+    vspec = lambda d2, d3: pl.BlockSpec(  # noqa: E731
+        (1, d2, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sspec = lambda d3: pl.BlockSpec(  # noqa: E731
+        (1, 1, d3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            sspec(cs),          # schedule scalars: dynamic per-column reads
+            sspec(cs),
+            vspec(6, r),
+            vspec(1, r),        # per-ray scene-exit cap on best_t
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[vspec(1, r), vspec(1, r), vspec(1, r), vspec(1, r)],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, 1, r), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32),
+            jax.ShapeDtypeStruct((tiles, 1, r), jnp.float32),
+            jax.ShapeDtypeStruct((tiles, 1, r), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 12, cpi * k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, cpi)),
+        ],
+        interpret=interpret,
+    )(st[:, None, :], si[:, None, :], rays.reshape(tiles, 6, r),
+      t_cap[:, None, :], blocks_t)
+    return tuple(x[:, 0, :] for x in out)
+
+
+def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False):
+    """Run the occlusion sweep kernel. Returns blocked i32[tiles, R]."""
+    k = blocks_t.shape[2]
+    cpi = max(1, LANES // k)
+    st, si = _pad_cols(st, si, cpi)
+    tiles, cs = st.shape
+    r = rays.shape[2]
+    n_cols = cs // cpi
+
+    kern = functools.partial(_occl_kernel, cpi=cpi, k=k, n_cols=n_cols)
+    vspec = lambda d2, d3: pl.BlockSpec(  # noqa: E731
+        (1, d2, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sspec = lambda d3: pl.BlockSpec(  # noqa: E731
+        (1, 1, d3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(tiles,),
+        in_specs=[
+            sspec(cs),
+            sspec(cs),
+            vspec(6, r),
+            vspec(1, r),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[vspec(1, r)],
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 12, cpi * k), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, cpi)),
+        ],
+        interpret=interpret,
+    )(st[:, None, :], si[:, None, :], rays.reshape(tiles, 6, r),
+      t_max_rays[:, None, :], blocks_t)
+    return out[0][:, 0, :]

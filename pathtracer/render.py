@@ -36,12 +36,20 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                 "cfg.intersector='cluster' but scene has no cluster accel; "
                 "call accel.cluster.build_scene_clusters(scene) first")
         accel = scene.clusters
+        backend = cfg.traversal_backend
+        if backend == "pallas" and packet._pallas_interpret():
+            # off-TPU the fused kernel only runs interpreted (orders of
+            # magnitude slower than compiled XLA) - use the XLA sweep;
+            # the kernel itself is covered by tests/test_pallas_sweep.py
+            backend = "xla"
 
         def intersect_fn(o, d, t_min, t_max):
-            return packet.intersect_clusters(accel, o, d, t_min, t_max)
+            return packet.intersect_clusters(accel, o, d, t_min, t_max,
+                                             backend=backend)
 
         def occluded_fn(o, d, t_max):
-            return packet.occluded_clusters(accel, o, d, t_max)
+            return packet.occluded_clusters(accel, o, d, t_max,
+                                            backend=backend)
     elif cfg.intersector == "brute":
         def intersect_fn(o, d, t_min, t_max):
             return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
