@@ -1,0 +1,316 @@
+// pathtracer native runtime: image codec + glTF accessor unpacking.
+//
+// The TPU-native counterpart of the reference's vendored native components:
+// stb_image's texture decode (texture.cpp:5-13) and tinygltf's buffer/
+// accessor extraction (model_loader.cpp:86-138). JAX/XLA owns the compute
+// path; this library owns the host-side data path (asset IO), exposed to
+// Python via ctypes (see pathtracer/utils/native.py).
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC, links system zlib)
+//
+// Scope: 8-bit PNG decode (gray / gray+alpha / RGB / RGBA / palette,
+// non-interlaced - Adam7 falls back to the Python path), PNG encode
+// (RGB/RGBA/gray, filter 0), and strided glTF accessor unpacking for all
+// component types. Anything unsupported returns a nonzero code and the
+// Python caller falls back to PIL / numpy.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr uint8_t kPngSig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+
+uint32_t be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | uint32_t(p[3]);
+}
+
+void put_be32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(uint8_t(x >> 24));
+  v.push_back(uint8_t(x >> 16));
+  v.push_back(uint8_t(x >> 8));
+  v.push_back(uint8_t(x));
+}
+
+int paeth(int a, int b, int c) {
+  int p = a + b - c;
+  int pa = p > a ? p - a : a - p;
+  int pb = p > b ? p - b : b - p;
+  int pc = p > c ? p - c : c - p;
+  if (pa <= pb && pa <= pc) return a;
+  if (pb <= pc) return b;
+  return c;
+}
+
+bool inflate_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  z_stream zs{};
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = const_cast<uint8_t*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  uint8_t buf[1 << 16];
+  int ret = Z_OK;
+  while (ret != Z_STREAM_END) {
+    zs.next_out = buf;
+    zs.avail_out = sizeof(buf);
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return false;
+    }
+    out.insert(out.end(), buf, buf + (sizeof(buf) - zs.avail_out));
+  }
+  inflateEnd(&zs);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Probe a PNG header: fills (width, height, channels) of the DECODED RGBA8
+// output this library would produce. Returns 0 on "can decode", nonzero on
+// "fall back to Python".
+int pt_png_probe(const uint8_t* data, int64_t n, int32_t* width,
+                 int32_t* height, int32_t* channels) {
+  if (n < 33 || std::memcmp(data, kPngSig, 8) != 0) return 1;
+  if (std::memcmp(data + 12, "IHDR", 4) != 0) return 2;
+  uint32_t w = be32(data + 16), h = be32(data + 20);
+  uint8_t depth = data[24], color = data[25], interlace = data[28];
+  if (depth != 8 || interlace != 0) return 3;
+  int ch;
+  switch (color) {
+    case 0: ch = 1; break;   // gray
+    case 2: ch = 3; break;   // rgb
+    case 3: ch = 3; break;   // palette -> rgb
+    case 4: ch = 2; break;   // gray+alpha
+    case 6: ch = 4; break;   // rgba
+    default: return 4;
+  }
+  if (w == 0 || h == 0 || w > (1u << 20) || h > (1u << 20)) return 5;
+  *width = int32_t(w);
+  *height = int32_t(h);
+  *channels = ch;
+  return 0;
+}
+
+// Decode an 8-bit non-interlaced PNG into out[h*w*channels] (layout as
+// probed). Returns 0 on success.
+int pt_png_decode(const uint8_t* data, int64_t n, uint8_t* out) {
+  int32_t w, h, out_ch;
+  if (pt_png_probe(data, n, &w, &h, &out_ch) != 0) return 1;
+  uint8_t color = data[25];
+  int src_ch = (color == 0) ? 1 : (color == 2) ? 3 : (color == 3) ? 1
+               : (color == 4) ? 2 : 4;
+
+  // gather IDAT, PLTE
+  std::vector<uint8_t> idat;
+  const uint8_t* plte = nullptr;
+  size_t plte_n = 0;
+  int64_t off = 8;
+  while (off + 12 <= n) {
+    uint32_t len = be32(data + off);
+    const uint8_t* type = data + off + 4;
+    const uint8_t* body = data + off + 8;
+    if (off + 12 + len > n) return 2;
+    if (std::memcmp(type, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), body, body + len);
+    } else if (std::memcmp(type, "PLTE", 4) == 0) {
+      plte = body;
+      plte_n = len;
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      break;
+    }
+    off += 12 + len;
+  }
+  if (idat.empty()) return 3;
+  if (color == 3 && (plte == nullptr || plte_n % 3 != 0)) return 4;
+
+  std::vector<uint8_t> raw;
+  raw.reserve(size_t(h) * (size_t(w) * src_ch + 1));
+  if (!inflate_all(idat.data(), idat.size(), raw)) return 5;
+  size_t stride = size_t(w) * src_ch;
+  if (raw.size() < size_t(h) * (stride + 1)) return 6;
+
+  // unfilter in place into a scanline buffer
+  std::vector<uint8_t> img(size_t(h) * stride);
+  std::vector<uint8_t> prev(stride, 0);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* src = raw.data() + size_t(y) * (stride + 1);
+    uint8_t filter = src[0];
+    const uint8_t* line = src + 1;
+    uint8_t* dst = img.data() + size_t(y) * stride;
+    for (size_t x = 0; x < stride; ++x) {
+      int a = (x >= size_t(src_ch)) ? dst[x - src_ch] : 0;
+      int b = prev[x];
+      int c = (x >= size_t(src_ch)) ? ((y > 0) ? prev[x - src_ch] : 0) : 0;
+      int v = line[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, c); break;
+        default: return 7;
+      }
+      dst[x] = uint8_t(v);
+    }
+    std::memcpy(prev.data(), dst, stride);
+  }
+
+  // expand palette / copy out
+  if (color == 3) {
+    for (size_t i = 0; i < size_t(h) * w; ++i) {
+      uint8_t idx = img[i];
+      if (size_t(idx) * 3 + 2 >= plte_n) return 8;
+      out[i * 3 + 0] = plte[idx * 3 + 0];
+      out[i * 3 + 1] = plte[idx * 3 + 1];
+      out[i * 3 + 2] = plte[idx * 3 + 2];
+    }
+  } else {
+    std::memcpy(out, img.data(), img.size());
+  }
+  return 0;
+}
+
+// Encode u8 image [h, w, channels] (1, 3 or 4) as a PNG into out (caller
+// allocates via pt_png_encode_bound). Writes actual size to *out_n.
+int64_t pt_png_encode_bound(int32_t w, int32_t h, int32_t ch) {
+  return compressBound(uLong(size_t(h) * (size_t(w) * ch + 1))) + 1024;
+}
+
+int pt_png_encode(const uint8_t* img, int32_t w, int32_t h, int32_t ch,
+                  uint8_t* out, int64_t* out_n) {
+  if (ch != 1 && ch != 3 && ch != 4) return 1;
+  uint8_t color = (ch == 1) ? 0 : (ch == 3) ? 2 : 6;
+  size_t stride = size_t(w) * ch;
+  std::vector<uint8_t> raw(size_t(h) * (stride + 1));
+  for (int y = 0; y < h; ++y) {
+    raw[size_t(y) * (stride + 1)] = 0;  // filter: None
+    std::memcpy(raw.data() + size_t(y) * (stride + 1) + 1,
+                img + size_t(y) * stride, stride);
+  }
+  uLongf comp_n = compressBound(uLong(raw.size()));
+  std::vector<uint8_t> comp(comp_n);
+  if (compress2(comp.data(), &comp_n, raw.data(), uLong(raw.size()), 6) !=
+      Z_OK)
+    return 2;
+
+  std::vector<uint8_t> png;
+  png.reserve(comp_n + 1024);
+  png.insert(png.end(), kPngSig, kPngSig + 8);
+  auto chunk = [&png](const char* type, const uint8_t* body, size_t len) {
+    put_be32(png, uint32_t(len));
+    size_t start = png.size();
+    png.insert(png.end(), type, type + 4);
+    png.insert(png.end(), body, body + len);
+    uint32_t crc = uint32_t(
+        crc32(0, png.data() + start, uInt(4 + len)));
+    put_be32(png, crc);
+  };
+  uint8_t ihdr[13];
+  ihdr[0] = uint8_t(w >> 24); ihdr[1] = uint8_t(w >> 16);
+  ihdr[2] = uint8_t(w >> 8); ihdr[3] = uint8_t(w);
+  ihdr[4] = uint8_t(h >> 24); ihdr[5] = uint8_t(h >> 16);
+  ihdr[6] = uint8_t(h >> 8); ihdr[7] = uint8_t(h);
+  ihdr[8] = 8; ihdr[9] = color; ihdr[10] = 0; ihdr[11] = 0; ihdr[12] = 0;
+  chunk("IHDR", ihdr, 13);
+  chunk("IDAT", comp.data(), comp_n);
+  chunk("IEND", nullptr, 0);
+  if (int64_t(png.size()) > *out_n) return 3;
+  std::memcpy(out, png.data(), png.size());
+  *out_n = int64_t(png.size());
+  return 0;
+}
+
+// Unpack a (possibly strided) glTF accessor into contiguous float32.
+// component_type: 5120 i8, 5121 u8, 5122 i16, 5123 u16, 5125 u32, 5126 f32
+// normalized: apply the glTF normalization rules for integer types.
+int pt_accessor_to_f32(const uint8_t* buf, int64_t buf_n, int64_t offset,
+                       int32_t count, int32_t n_comp, int32_t component_type,
+                       int32_t stride, int32_t normalized, float* out) {
+  int comp_size;
+  switch (component_type) {
+    case 5120: case 5121: comp_size = 1; break;
+    case 5122: case 5123: comp_size = 2; break;
+    case 5125: case 5126: comp_size = 4; break;
+    default: return 1;
+  }
+  int64_t elem = int64_t(comp_size) * n_comp;
+  int64_t step = stride > 0 ? stride : elem;
+  if (offset + (count > 0 ? (int64_t(count) - 1) * step + elem : 0) > buf_n)
+    return 2;
+  for (int32_t i = 0; i < count; ++i) {
+    const uint8_t* p = buf + offset + int64_t(i) * step;
+    for (int32_t c = 0; c < n_comp; ++c) {
+      const uint8_t* q = p + int64_t(c) * comp_size;
+      float v;
+      switch (component_type) {
+        case 5120: {
+          int8_t x; std::memcpy(&x, q, 1);
+          v = normalized ? (x < -127 ? -1.f : x / 127.f) : float(x);
+          break;
+        }
+        case 5121: {
+          uint8_t x = *q;
+          v = normalized ? x / 255.f : float(x);
+          break;
+        }
+        case 5122: {
+          int16_t x; std::memcpy(&x, q, 2);
+          v = normalized ? (x < -32767 ? -1.f : x / 32767.f) : float(x);
+          break;
+        }
+        case 5123: {
+          uint16_t x; std::memcpy(&x, q, 2);
+          v = normalized ? x / 65535.f : float(x);
+          break;
+        }
+        case 5125: {
+          uint32_t x; std::memcpy(&x, q, 4);
+          v = float(x);
+          break;
+        }
+        default: {
+          std::memcpy(&v, q, 4);
+          break;
+        }
+      }
+      out[int64_t(i) * n_comp + c] = v;
+    }
+  }
+  return 0;
+}
+
+// Unpack index accessors (u8/u16/u32) into contiguous int32.
+int pt_accessor_to_i32(const uint8_t* buf, int64_t buf_n, int64_t offset,
+                       int32_t count, int32_t component_type, int32_t stride,
+                       int32_t* out) {
+  int comp_size;
+  switch (component_type) {
+    case 5121: comp_size = 1; break;
+    case 5123: comp_size = 2; break;
+    case 5125: comp_size = 4; break;
+    default: return 1;
+  }
+  int64_t step = stride > 0 ? stride : comp_size;
+  if (offset + (count > 0 ? (int64_t(count) - 1) * step + comp_size : 0) >
+      buf_n)
+    return 2;
+  for (int32_t i = 0; i < count; ++i) {
+    const uint8_t* q = buf + offset + int64_t(i) * step;
+    uint32_t v = 0;
+    switch (comp_size) {
+      case 1: v = *q; break;
+      case 2: { uint16_t x; std::memcpy(&x, q, 2); v = x; break; }
+      default: { std::memcpy(&v, q, 4); break; }
+    }
+    out[i] = int32_t(v);
+  }
+  return 0;
+}
+
+}  // extern "C"

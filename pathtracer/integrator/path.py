@@ -508,6 +508,10 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         jnp.sum(ref) * 0.0,                         # rays_traced
     )
     if cfg.max_depth > 1:
+        # fori (not while-any(active)): an early-exit while was measured 2x
+        # SLOWER end-to-end - the all-lanes cond reduction serializes the
+        # bounce pipeline, while parked dead lanes already make late
+        # bounces cheap.
         carry = jax.lax.fori_loop(0, cfg.max_depth - 1, bounce, carry)
     # last segment only collects emission (raygen.rgen:128 loop tail)
     carry, _ = segment(carry, cfg.max_depth - 1)

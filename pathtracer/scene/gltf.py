@@ -96,6 +96,20 @@ class _Gltf:
             data = self.buffer(bv["buffer"])
             start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
             stride = bv.get("byteStride") or itemsize
+            # native strided unpack (C++ hot path, utils/native.py);
+            # falls through to numpy when the toolchain is unavailable
+            out = None
+            if not acc.get("sparse"):
+                from pathtracer.utils import native
+
+                if dtype == np.float32 or acc.get("normalized") or \
+                        np.issubdtype(dtype, np.floating):
+                    out = native.accessor_to_f32(
+                        data, start, n, ncomp, acc["componentType"],
+                        0 if stride == itemsize else stride,
+                        bool(acc.get("normalized")))
+            if out is not None:
+                return out
             if stride == itemsize:
                 out = np.frombuffer(
                     data, dtype, count=n * ncomp, offset=start
@@ -128,25 +142,45 @@ class _Gltf:
         return arr.reshape(-1, ncomp) if ncomp > 1 else arr
 
     def image_rgba(self, image_index: int) -> np.ndarray:
-        from io import BytesIO
-
-        from PIL import Image
-
         img = self.doc["images"][image_index]
         if "uri" in img and not img["uri"].startswith("data:"):
             from urllib.parse import unquote
 
-            pil = Image.open(os.path.join(self.dir, unquote(img["uri"])))
+            with open(os.path.join(self.dir, unquote(img["uri"])),
+                      "rb") as f:
+                raw = f.read()
+        elif "uri" in img:
+            raw = base64.b64decode(img["uri"].split(",", 1)[1])
         else:
-            if "uri" in img:
-                raw = base64.b64decode(img["uri"].split(",", 1)[1])
+            bv = self.doc["bufferViews"][img["bufferView"]]
+            data = self.buffer(bv["buffer"])
+            start = bv.get("byteOffset", 0)
+            raw = data[start: start + bv["byteLength"]]
+
+        # native PNG decoder first (the stb_image role, texture.cpp:5-13)
+        from pathtracer.utils import native
+
+        arr = native.png_decode(raw)
+        if arr is not None:
+            if arr.shape[2] == 4:
+                return arr
+            rgba = np.empty(arr.shape[:2] + (4,), np.uint8)
+            if arr.shape[2] == 1:
+                rgba[..., :3] = arr
+            elif arr.shape[2] == 2:       # gray + alpha
+                rgba[..., :3] = arr[..., :1]
+                rgba[..., 3] = arr[..., 1]
+                return rgba
             else:
-                bv = self.doc["bufferViews"][img["bufferView"]]
-                data = self.buffer(bv["buffer"])
-                start = bv.get("byteOffset", 0)
-                raw = data[start: start + bv["byteLength"]]
-            pil = Image.open(BytesIO(raw))
-        return np.asarray(pil.convert("RGBA"))
+                rgba[..., :3] = arr
+            rgba[..., 3] = 255
+            return rgba
+
+        from io import BytesIO
+
+        from PIL import Image
+
+        return np.asarray(Image.open(BytesIO(raw)).convert("RGBA"))
 
 
 def _node_matrix(node: dict) -> np.ndarray:

@@ -1,0 +1,150 @@
+"""ctypes bindings for the native host runtime (native/pathtracer_native.cpp).
+
+The asset/IO data path of the framework - PNG codec + glTF accessor
+unpacking - implemented in C++ (the role stb_image/tinygltf play in the
+reference, texture.cpp:5-13 / model_loader.cpp:86-138). The library is
+built on demand with `make -C native` and every entry point has a pure
+Python fallback, so the framework works without a toolchain.
+
+API:
+  png_decode(data: bytes) -> np.uint8 [H, W, C] or None (unsupported PNG)
+  png_encode(img: np.uint8 [H, W, C]) -> bytes or None
+  accessor_to_f32(buf, offset, count, n_comp, ctype, stride, normalized)
+  accessor_to_i32(buf, offset, count, ctype, stride)
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_DIR = os.path.join(_REPO, "native")
+_SO = os.path.join(_DIR, "libpathtracer_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    """Build (if needed) + dlopen the native library; None on any failure."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if not os.path.exists(_SO) or (
+                    os.path.getmtime(_SO) < os.path.getmtime(
+                        os.path.join(_DIR, "pathtracer_native.cpp"))):
+                subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                               capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            return None
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.pt_png_probe.argtypes = [u8p, ctypes.c_int64, i32p, i32p, i32p]
+        lib.pt_png_probe.restype = ctypes.c_int
+        lib.pt_png_decode.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib.pt_png_decode.restype = ctypes.c_int
+        lib.pt_png_encode_bound.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                            ctypes.c_int32]
+        lib.pt_png_encode_bound.restype = ctypes.c_int64
+        lib.pt_png_encode.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
+                                      ctypes.c_int32, u8p, i64p]
+        lib.pt_png_encode.restype = ctypes.c_int
+        lib.pt_accessor_to_f32.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            f32p]
+        lib.pt_accessor_to_f32.restype = ctypes.c_int
+        lib.pt_accessor_to_i32.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, i32p]
+        lib.pt_accessor_to_i32.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8p(arr):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def png_decode(data: bytes):
+    """Decode an 8-bit PNG -> u8 [H, W, C]; None if unsupported here."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int32()
+    h = ctypes.c_int32()
+    ch = ctypes.c_int32()
+    if lib.pt_png_probe(_u8p(buf), buf.size, ctypes.byref(w),
+                        ctypes.byref(h), ctypes.byref(ch)) != 0:
+        return None
+    out = np.empty((h.value, w.value, ch.value), np.uint8)
+    if lib.pt_png_decode(_u8p(buf), buf.size, _u8p(out)) != 0:
+        return None
+    return out
+
+
+def png_encode(img: np.ndarray):
+    """Encode u8 [H, W] / [H, W, C] (C in 1,3,4) -> PNG bytes; None if n/a."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch not in (1, 3, 4):
+        return None
+    n = ctypes.c_int64(lib.pt_png_encode_bound(w, h, ch))
+    out = np.empty(n.value, np.uint8)
+    if lib.pt_png_encode(_u8p(img), w, h, ch, _u8p(out),
+                         ctypes.byref(n)) != 0:
+        return None
+    return out[:n.value].tobytes()
+
+
+def accessor_to_f32(buf: bytes, offset: int, count: int, n_comp: int,
+                    component_type: int, stride: int, normalized: bool):
+    """Strided glTF accessor -> f32 [count, n_comp]; None if n/a."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(buf, np.uint8)
+    out = np.empty((count, n_comp), np.float32)
+    rc = lib.pt_accessor_to_f32(
+        _u8p(src), src.size, offset, count, n_comp, component_type,
+        stride, int(normalized),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out if rc == 0 else None
+
+
+def accessor_to_i32(buf: bytes, offset: int, count: int,
+                    component_type: int, stride: int):
+    """Strided glTF index accessor -> i32 [count]; None if n/a."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.frombuffer(buf, np.uint8)
+    out = np.empty((count,), np.int32)
+    rc = lib.pt_accessor_to_i32(
+        _u8p(src), src.size, offset, count, component_type, stride,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out if rc == 0 else None
