@@ -17,7 +17,7 @@ Build (all jittable XLA ops, runs on-device - the "driver" is XLA):
 2. Chunk the sorted order into clusters of K triangles (K chosen so the
    cluster count C <= max_clusters). Cluster AABBs are reshape+min/max.
 3. Pre-bake each cluster's triangles as one wide row:
-   [C, K, 12] f32 = (v0, e1, e2, orig_tri_id_bits, pad2) per triangle -
+   [C, K, 12] f32 = (v0, e1, e2, orig_tri_id + 1, pad2) per triangle -
    the Moller-Trumbore-ready layout fetched per (tile, cluster) visit.
 
 Padding triangles are placed at +1e30 with zero edges: their AABB never
@@ -59,10 +59,11 @@ class ClusterAccel:
 
     aabb_lo: jnp.ndarray   # f32 [C, 3]
     aabb_hi: jnp.ndarray   # f32 [C, 3]
-    blocks: jnp.ndarray    # f32 [C, K, 12]: v0, e1, e2, tri_id_bits, pad, pad
+    blocks: jnp.ndarray    # f32 [C, K, 12]: v0, e1, e2, tri_id+1, pad, pad
     # Component-major copy for the Pallas sweep kernel: triangles on the
-    # lane axis, one [12, K] block DMA'd per (tile, cluster) visit.
-    blocks_t: jnp.ndarray  # f32 [C, 12, K]
+    # lane axis, one [16, K] block DMA'd per (tile, cluster) visit (rows
+    # 0-9 = v0, e1, e2, id_bits; rows 10-15 pad to the 8-sublane tiling).
+    blocks_t: jnp.ndarray  # f32 [C, 16, K]
 
     @property
     def n_clusters(self) -> int:
@@ -73,7 +74,7 @@ class ClusterAccel:
         return self.blocks.shape[1]
 
 
-def build_clusters(v0, v1, v2, max_clusters: int = 2048,
+def build_clusters(v0, v1, v2, max_clusters: int = 512,
                    min_k: int = 128) -> ClusterAccel:
     """Build the cluster accel over triangles v0/v1/v2: f32[T, 3]."""
     t = v0.shape[0]
@@ -120,17 +121,24 @@ def build_clusters(v0, v1, v2, max_clusters: int = 2048,
         aabb_lo = jnp.where(empty[:, None], _PAD_POS, aabb_lo)
         aabb_hi = jnp.where(empty[:, None], _PAD_POS, aabb_hi)
 
-    id_bits = jax.lax.bitcast_convert_type(sid, jnp.float32)
+    # Triangle ids ride as FLOAT VALUES (id + 1; exact below 2^24), never
+    # as bitcast integers: small int bit patterns are f32 denormals and
+    # TPU vector units flush denormals to zero (and canonicalize NaNs),
+    # silently corrupting bit-smuggled payloads.
+    id_val = (sid + 1).astype(jnp.float32)
     rows = jnp.concatenate(
-        [sv0, sv1 - sv0, sv2 - sv0, id_bits[:, None],
+        [sv0, sv1 - sv0, sv2 - sv0, id_val[:, None],
          jnp.zeros((sv0.shape[0], 2), jnp.float32)], axis=1)
     blocks = rows.reshape(c, k, 12)
 
+    bt = jnp.swapaxes(blocks, 1, 2)                     # [C, 12, K]
+    bt = jnp.concatenate(
+        [bt, jnp.zeros((c, 4, k), jnp.float32)], axis=1)  # row-pad to 16
     return ClusterAccel(aabb_lo=aabb_lo, aabb_hi=aabb_hi, blocks=blocks,
-                        blocks_t=jnp.swapaxes(blocks, 1, 2))
+                        blocks_t=bt)
 
 
-def build_scene_clusters(scene: Scene, max_clusters: int = 2048) -> Scene:
+def build_scene_clusters(scene: Scene, max_clusters: int = 512) -> Scene:
     """Attach a ClusterAccel to the scene (packet-traversal accel)."""
     tri_ids = jnp.arange(scene.n_tris)
     v0, v1, v2 = scene.tri_vertices(tri_ids)

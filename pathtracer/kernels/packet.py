@@ -220,7 +220,8 @@ def _mt_closest(block, o, d, t_min, t_max):
     v0 = block[:, None, :, 0:3]              # [tiles, 1, Kc, 3]
     e1 = block[:, None, :, 3:6]
     e2 = block[:, None, :, 6:9]
-    tid = jax.lax.bitcast_convert_type(block[:, :, 9], jnp.int32)
+    # id+1 as float value (see accel/cluster.py: denormal-flush hazard)
+    tid = jnp.round(block[:, :, 9]).astype(jnp.int32) - 1
 
     ob = o[:, :, None, :]                    # [tiles, R, 1, 3]
     db = d[:, :, None, :]
@@ -278,6 +279,23 @@ def _fetch_blocks(accel, cids):
     return blk.reshape(s[0], s[1] * s[2], s[3])
 
 
+def _unsort_hit(t, tri, u, v, n, inv):
+    """Reshape + (optionally) invert the coherence sort with ONE gather."""
+    if inv is None:
+        return Hit(t=t.reshape(n), tri=tri.reshape(n), u=u.reshape(n),
+                   v=v.reshape(n))
+    # tri rides as a float VALUE (exact for ids < 2^24), NOT a bitcast:
+    # TPU vector ops canonicalize NaN bit patterns, which would corrupt
+    # bit-smuggled integers (e.g. -1 = 0xFFFFFFFF).
+    tri_f = tri.reshape(n).astype(jnp.float32)
+    packed = jnp.stack(
+        [t.reshape(n), tri_f, u.reshape(n), v.reshape(n)], axis=1)[inv]
+    return Hit(
+        t=packed[:, 0],
+        tri=jnp.round(packed[:, 1]).astype(jnp.int32),
+        u=packed[:, 2], v=packed[:, 3])
+
+
 def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
                      tile_rays, cpi, cull, backend="xla"):
     def run(rays):
@@ -312,12 +330,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
                 st, si, rays6, t_cap, accel.blocks_t, t_min, t_max,
                 interpret=_pallas_interpret())
             t = jnp.where(tri >= 0, t, jnp.inf)
-            hit = Hit(t=t.reshape(n), tri=tri.reshape(n),
-                      u=u.reshape(n), v=v.reshape(n))
-            if sort_rays:
-                hit = Hit(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv],
-                          v=hit.v[inv])
-            return hit
+            return _unsort_hit(t, tri, u, v, n, inv if sort_rays else None)
 
         st, si = _sorted_schedule(tile_tnear, cpi)
         n_cols = st.shape[1]
@@ -354,12 +367,8 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
         _, best_t, best_tri, best_u, best_v = jax.lax.while_loop(
             cond, body, state)
         best_t = jnp.where(best_tri >= 0, best_t, jnp.inf)
-        hit = Hit(t=best_t.reshape(n), tri=best_tri.reshape(n),
-                  u=best_u.reshape(n), v=best_v.reshape(n))
-        if sort_rays:
-            hit = Hit(t=hit.t[inv], tri=hit.tri[inv], u=hit.u[inv],
-                      v=hit.v[inv])
-        return hit
+        return _unsort_hit(best_t, best_tri, best_u, best_v, n,
+                           inv if sort_rays else None)
 
     return run
 
@@ -374,9 +383,11 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
 
         if sort_rays:
             order, inv = _coherence_order(accel, o_in, d_in)
-            o = o_in[order]
-            d = d_in[order]
-            t_max = tmax_in[order]
+            odt = jnp.concatenate(
+                [o_in, d_in, tmax_in[:, None]], axis=1)[order]
+            o = odt[:, 0:3]
+            d = odt[:, 3:6]
+            t_max = odt[:, 6]
         else:
             o, d, t_max = o_in, d_in, tmax_in
 

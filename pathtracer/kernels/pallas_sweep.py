@@ -43,7 +43,7 @@ def _mt_lane(block, rays, t_min, best_t):
     """Dense MT: block f32[12, L], rays f32[6, R] -> per-(ray, tri) t/u/v.
 
     Returns (t, u, v) each f32[R, L]; t = +inf where no valid hit.
-    block rows: v0(3), e1(3), e2(3), id_bits, pad, pad.
+    block rows: v0(3), e1(3), e2(3), id+1, pad, pad.
     """
     r = rays.shape[1]
 
@@ -125,8 +125,8 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
         wait_dma(slot)
         block = scratch[slot]
         t, u, v = _mt_lane(block, rays, t_min, best_t)
-        tid = block[tid_row, :].reshape(1, -1)
-        tid = pltpu.bitcast(tid, jnp.int32)
+        # id+1 as float value (accel/cluster.py: denormal-flush hazard)
+        tid = jnp.round(block[tid_row, :].reshape(1, -1)).astype(jnp.int32)             - 1
 
         tj = jnp.min(t, axis=1, keepdims=True)        # [R, 1]
         j = jnp.argmin(t, axis=1, keepdims=True)
@@ -307,7 +307,7 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
             jax.ShapeDtypeStruct((tiles, 1, r), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 12, cpi * k), jnp.float32),
+            pltpu.VMEM((2, 16, cpi * k), jnp.float32),
             pltpu.SemaphoreType.DMA((2, cpi)),
         ],
         interpret=interpret,
@@ -345,7 +345,7 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False):
             jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 12, cpi * k), jnp.float32),
+            pltpu.VMEM((2, 16, cpi * k), jnp.float32),
             pltpu.SemaphoreType.DMA((2, cpi)),
         ],
         interpret=interpret,

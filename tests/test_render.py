@@ -82,6 +82,18 @@ def test_bvh_matches_brute_end_to_end(cornell_setup):
     np.testing.assert_allclose(img_bvh, img_brute, rtol=1e-3, atol=1e-3)
 
 
+def test_cluster_matches_brute_end_to_end(cornell_setup):
+    """Packet (cluster) traversal renders the same image as the oracle."""
+    from pathtracer.accel.cluster import build_scene_clusters
+
+    scene, _, cam, cfg = cornell_setup
+    img_brute = np.asarray(render_frame(scene, cfg, cam.state(), 0))
+    scene_cl = build_scene_clusters(scene)
+    cfg_cl = dataclasses.replace(cfg, intersector="cluster")
+    img_cl = np.asarray(render_frame(scene_cl, cfg_cl, cam.state(), 0))
+    np.testing.assert_allclose(img_cl, img_brute, rtol=1e-3, atol=1e-3)
+
+
 def test_render_deterministic(cornell_setup):
     scene, _, cam, cfg = cornell_setup
     a = np.asarray(render_frame(scene, cfg, cam.state(), 0))
