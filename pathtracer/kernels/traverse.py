@@ -52,7 +52,7 @@ RAY_CHUNK = 1 << 16
 class PackedBvh(NamedTuple):
     """Gather-optimal traversal layout (see module docstring)."""
 
-    nodes: jnp.ndarray  # f32 [n_nodes, 8]: lo3, hi3, miss_bits, tri_bits
+    nodes: jnp.ndarray  # f32 [n_nodes, 8]: lo3, hi3, miss+1, tri+1
     tris: jnp.ndarray   # f32 [T, 9]: v0, e1=v1-v0, e2=v2-v0
 
 
@@ -62,10 +62,13 @@ def pack_bvh(bvh: Bvh, indices, positions) -> PackedBvh:
     Pure jnp - safe both inside jit (recomputed per frame, O(n) fused and
     negligible next to traversal traffic) and ahead of time.
     """
-    miss_bits = jax.lax.bitcast_convert_type(bvh.miss_link, jnp.float32)
-    tri_bits = jax.lax.bitcast_convert_type(bvh.tri_id, jnp.float32)
+    # links/ids ride as float VALUES (x+1, exact below 2^24), never as
+    # bitcast integers: TPU vector ops flush f32 denormals to zero and
+    # canonicalize NaNs, corrupting bit-smuggled payloads (docs/PERF.md).
+    miss_val = (bvh.miss_link + 1).astype(jnp.float32)
+    tri_val = (bvh.tri_id + 1).astype(jnp.float32)
     nodes = jnp.concatenate(
-        [bvh.aabb_min, bvh.aabb_max, miss_bits[:, None], tri_bits[:, None]],
+        [bvh.aabb_min, bvh.aabb_max, miss_val[:, None], tri_val[:, None]],
         axis=1)
     v0 = positions[indices[:, 0]]
     v1 = positions[indices[:, 1]]
@@ -111,7 +114,7 @@ def _mt_packed(tri_rows, o, d, t_min, t_max):
     return t, u, v, hit, e1, e2
 
 
-def _chunk_map(fn, rays, n, out_template):
+def _chunk_map(fn, rays, n):
     """Run fn over RAY_CHUNK-sized chunks of the leading ray axis.
 
     rays: tuple of [N, ...] arrays; fn maps a tuple of [C, ...] chunks to a
@@ -165,8 +168,8 @@ def _intersect_chunk(packed: PackedBvh, t_min, t_max):
             row = nodes[ni]                             # ONE 32B gather
             lo = row[:, 0:3]
             hi = row[:, 3:6]
-            miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-            tri = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+            miss = jnp.round(row[:, 6]).astype(jnp.int32) - 1
+            tri = jnp.round(row[:, 7]).astype(jnp.int32) - 1
 
             t1 = (lo - o) * inv_d
             t2 = (hi - o) * inv_d
@@ -200,7 +203,7 @@ def _intersect_chunk(packed: PackedBvh, t_min, t_max):
     return run
 
 
-def _occluded_chunk(packed: PackedBvh, tmax_is_arg: bool):
+def _occluded_chunk(packed: PackedBvh):
     nodes = packed.nodes
     tris = packed.tris
 
@@ -226,8 +229,8 @@ def _occluded_chunk(packed: PackedBvh, tmax_is_arg: bool):
             row = nodes[ni]
             lo = row[:, 0:3]
             hi = row[:, 3:6]
-            miss = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
-            tri = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+            miss = jnp.round(row[:, 6]).astype(jnp.int32) - 1
+            tri = jnp.round(row[:, 7]).astype(jnp.int32) - 1
 
             t1 = (lo - o) * inv_d
             t2 = (hi - o) * inv_d
@@ -261,14 +264,14 @@ def _occluded_chunk(packed: PackedBvh, tmax_is_arg: bool):
 def intersect_packed(packed: PackedBvh, o, d, t_min, t_max) -> Hit:
     """Closest hit for rays o/d [N,3] against a packed threaded BVH."""
     return _chunk_map(_intersect_chunk(packed, t_min, t_max), (o, d),
-                      o.shape[0], None)
+                      o.shape[0])
 
 
 def occluded_packed(packed: PackedBvh, o, d, t_max):
     """Any-hit visibility with backface skip. Returns bool[N]."""
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    return _chunk_map(_occluded_chunk(packed, True), (o, d, t_max),
-                      o.shape[0], None)
+    return _chunk_map(_occluded_chunk(packed), (o, d, t_max),
+                      o.shape[0])
 
 
 def intersect_bvh(bvh: Bvh, indices, positions, o, d, t_min, t_max) -> Hit:
