@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: Sponza-class interior (~262k tris) at 1920x1080, 1spp
+"""Headline benchmark: Sponza-class interior (~262k tris) at 1920x1080, 4spp
 progressive loop on one chip (BASELINE.json config 5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -30,6 +30,9 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     tris = int(os.environ.get("BENCH_TRIS", 262_000))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
+    # 4 spp/frame mirrors the reference's per-frame workload
+    # (assets/shaders/raygen.rgen:100); override for smoke runs.
+    spp = int(os.environ.get("BENCH_SPP", 4))
 
     from pathtracer.accel.cluster import build_scene_clusters
     from pathtracer.bench.harness import bench_scene
@@ -40,7 +43,7 @@ def main():
     scene = sponza_like(target_tris=tris).finalize()
     scene = build_scene_clusters(scene)
 
-    cfg = RenderConfig(width=width, height=height, spp=1, max_depth=6,
+    cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=6,
                        intersector="cluster")
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))

@@ -1,0 +1,36 @@
+"""Golden-image regression: the Cornell render must not drift.
+
+tests/golden_cornell_64.npy is the linear-radiance output of the default
+estimator (4 frames x 2 spp, depth 4, cluster intersector) committed at
+round 1. The counter-based RNG makes renders bit-stable across runs, so
+any difference beyond float-reassociation noise is an estimator change -
+intentional changes must regenerate the golden (see the script in this
+file's history / BASELINE.md config 1).
+"""
+
+import os
+
+import numpy as np
+
+from pathtracer.accel.cluster import build_scene_clusters
+from pathtracer.config import RenderConfig
+from pathtracer.film.film import rmse
+from pathtracer.integrator.camera import Camera
+from pathtracer.render import render_frame
+from pathtracer.scene.procedural import cornell_box
+
+_GOLDEN = os.path.join(os.path.dirname(__file__), "golden_cornell_64.npy")
+
+
+def test_cornell_matches_golden():
+    scene = build_scene_clusters(cornell_box(materials_suite=True).finalize())
+    cfg = RenderConfig(width=64, height=64, spp=2, max_depth=4)
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    acc = np.zeros((64, 64, 3), np.float32)
+    for f in range(4):
+        acc += np.asarray(render_frame(scene, cfg, cam.state(), f))
+    acc /= 4
+    golden = np.load(_GOLDEN)
+    err = rmse(acc, golden)
+    assert err <= 1e-4, f"render drifted from golden: RMSE {err:.2e}"
