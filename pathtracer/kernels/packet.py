@@ -16,20 +16,24 @@ access over the whole tile:
    ([N, C] at ~256 Gtests/s), reduced on the fly to a per-tile matrix
    `tile_tnear[tiles, C]` = min entry distance over the tile's rays that
    hit the cluster (inf where no ray hits).
-3. **Near-to-far tile iteration** - a while_loop where each live tile
-   extracts its CLUSTERS_PER_ITER nearest unvisited clusters (argmins over
-   [tiles, C] - tiny), fetches those pre-baked triangle blocks with a
-   per-TILE gather ([tiles, CPI] rows of K*48 B - small-table wide-row
-   regime), and Moller-Trumbore-tests all TILE_RAYS x CPI*K pairs densely.
-   Extracting an exhausted slot re-tests cluster 0: harmless (real
-   intersections only ever refine the result) and keeps shapes static.
-4. **Termination** - a tile stops when its nearest remaining cluster lies
-   beyond every ray's current best hit (or, for shadow rays, when every
-   lane is already blocked). Lockstep cost is max tile-union size, not
-   max per-ray path length.
+3. **Sorted schedule** - each tile's cluster list is sorted near-to-far
+   ONCE (lax.sort outside the loop); the sweep then just walks columns.
+4. **Sweep** - the default backend runs the whole per-tile sweep as a
+   single fused Pallas kernel (kernels/pallas_sweep.py); the "xla"
+   backend is a lockstep while_loop that opens CLUSTERS_PER_ITER columns
+   per iteration with per-TILE block gathers and dense Moller-Trumbore.
+   Exhausted columns re-test cluster 0: harmless (real intersections only
+   ever refine the result) and keeps shapes static.
+5. **Termination** - a tile stops when its nearest remaining cluster lies
+   beyond every ray's current best hit, where best_t starts at the
+   per-ray scene-exit distance (_scene_exit), not t_max - so miss rays
+   stop at the scene bounds. Shadow sweeps stop when every lane is
+   blocked.
 
 No take_along_axis anywhere: best-of-K extraction is argmin + iota-compare
-one-hot sums (take_along_axis lowers to a ~0.5 ms serialized gather).
+one-hot sums (take_along_axis lowers to a ~0.5 ms serialized gather). All
+integer payloads ride as float VALUES, never bitcasts (denormal flush -
+see docs/PERF.md "TPU numerics traps").
 """
 
 from __future__ import annotations

@@ -123,12 +123,21 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
         return path_mod.trace_paths(scene, cfg, o, d, pixel_ids, sample_ids,
                                     intersect_fn, occluded_fn)
 
-    radiance = jnp.zeros((n, 3), jnp.float32)
-    rays = jnp.zeros((), jnp.float32)
-    for s in range(cfg.spp):  # static unroll (raygen.rgen:103 spp loop)
-        r, k = one_spp(jnp.uint32(s))
-        radiance = radiance + r
-        rays = rays + k
+    # spp loop as fori (raygen.rgen:103): the body compiles ONCE and live
+    # memory stays at one sample's working set (a python unroll was
+    # measured superlinear at spp=4)
+    def spp_body(s, acc):
+        radiance, rays = acc
+        r, k = one_spp(jnp.asarray(s, jnp.uint32))
+        return radiance + r, rays + k
+
+    if cfg.spp == 1:
+        radiance, rays = spp_body(0, (jnp.zeros((n, 3), jnp.float32),
+                                      jnp.zeros((), jnp.float32)))
+    else:
+        radiance, rays = jax.lax.fori_loop(
+            0, cfg.spp, spp_body,
+            (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.float32)))
     radiance = radiance / cfg.spp                  # raygen.rgen:297
     if swizzled is not None:
         return _unswizzle_image(radiance, w, h), rays
