@@ -30,9 +30,9 @@ def main():
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     tris = int(os.environ.get("BENCH_TRIS", 262_000))
     frames = int(os.environ.get("BENCH_FRAMES", 8))
-    # default 1 spp/frame: the unrolled spp loop is currently superlinear in
-    # cost (see docs/PERF.md); BENCH_SPP=4 reproduces the reference workload.
-    spp = int(os.environ.get("BENCH_SPP", 1))
+    # 4 spp/frame mirrors the reference's per-frame workload
+    # (assets/shaders/raygen.rgen:100); override for smoke runs.
+    spp = int(os.environ.get("BENCH_SPP", 4))
 
     from pathtracer.accel.cluster import build_scene_clusters
     from pathtracer.bench.harness import bench_scene
@@ -48,7 +48,7 @@ def main():
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
 
-    result = bench_scene(scene, cfg, cam, warmup=2, frames=frames)
+    result = bench_scene(scene, cfg, cam, warmup=4, frames=frames)
 
     baseline = 300.0  # Mrays/s/chip north-star (BASELINE.json)
     print(json.dumps({

@@ -42,17 +42,19 @@ class BenchResult:
 
 
 def bench_scene(scene: Scene, cfg: RenderConfig, camera: Camera,
-                warmup: int = 2, frames: int = 8) -> BenchResult:
+                warmup: int = 4, frames: int = 8) -> BenchResult:
     """Time progressive frames; returns throughput stats.
 
-    Warmup frames trigger compilation and are excluded. Every timed frame
-    uses a distinct frame index (fresh RNG counters), matching the
-    progressive loop's steady state.
+    Warmup frames trigger compilation AND flush first-run effects - on the
+    axon tunnel the first executed frames after a compile run up to 30x
+    slower than steady state (deferred initialization / data upload), so
+    warmup frames are individually host-synced and excluded.
     """
     cam = camera.state()
 
     for i in range(warmup):
         img, rays = render_frame_with_stats(scene, cfg, cam, i)
+        float(rays)                    # full sync: flush first-run effects
     jax.block_until_ready(img)
 
     total_rays = 0.0

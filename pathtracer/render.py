@@ -100,13 +100,13 @@ def _unswizzle_image(img_flat, w: int, h: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
-                            cam: cam_mod.CameraState, frame_idx):
-    """Render one frame's radiance estimate (mean of cfg.spp samples).
+def render_sample(scene: Scene, cfg: RenderConfig,
+                  cam: cam_mod.CameraState, frame_idx, s):
+    """Render ONE sample per pixel: the unit TPU program.
 
-    Returns (linear radiance f32[H, W, 3], rays_traced f32 scalar).
-    Deterministic in (cfg.seed, frame_idx): the counter-based RNG keys every
-    sample on (pixel, frame*spp + s, depth, use).
+    Returns (linear radiance f32[H, W, 3] of this sample, rays f32 scalar).
+    Deterministic in (cfg.seed, frame_idx, s): the counter-based RNG keys
+    every draw on (pixel, frame*spp + s, depth, use).
     """
     intersect_fn, occluded_fn = make_intersectors(scene, cfg)
     w, h = cfg.width, cfg.height
@@ -116,35 +116,35 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
                  else jnp.arange(n, dtype=jnp.int32))
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
 
-    def one_spp(s):
-        sample_ids = jnp.full((n,), frame_idx * cfg.spp + s, jnp.uint32)
-        o, d = cam_mod.generate_primary_rays(
-            cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
-        return path_mod.trace_paths(scene, cfg, o, d, pixel_ids, sample_ids,
-                                    intersect_fn, occluded_fn)
-
-    # spp loop as fori (raygen.rgen:103): the body compiles ONCE and live
-    # memory stays at one sample's working set (a python unroll was
-    # measured superlinear at spp=4)
-    def spp_body(s, acc):
-        radiance, rays = acc
-        r, k = one_spp(jnp.asarray(s, jnp.uint32))
-        return radiance + r, rays + k
-
-    if cfg.spp == 1:
-        radiance, rays = spp_body(0, (jnp.zeros((n, 3), jnp.float32),
-                                      jnp.zeros((), jnp.float32)))
-    else:
-        radiance, rays = jax.lax.fori_loop(
-            0, cfg.spp, spp_body,
-            (jnp.zeros((n, 3), jnp.float32), jnp.zeros((), jnp.float32)))
-    radiance = radiance / cfg.spp                  # raygen.rgen:297
+    sample_ids = jnp.full(
+        (n,), frame_idx * cfg.spp + jnp.asarray(s, jnp.uint32), jnp.uint32)
+    o, d = cam_mod.generate_primary_rays(
+        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
+    radiance, rays = path_mod.trace_paths(
+        scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn)
     if swizzled is not None:
         return _unswizzle_image(radiance, w, h), rays
     return radiance.reshape(h, w, 3), rays
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
+                            cam: cam_mod.CameraState, frame_idx):
+    """Render one frame's radiance estimate (mean of cfg.spp samples).
+
+    HOST-level spp loop over per-sample TPU programs: dispatches chain
+    asynchronously on-device, while keeping each compiled program at
+    one sample's size (a single multi-spp program was measured ~3x
+    slower PER SAMPLE - docs/PERF.md "open question").
+    """
+    radiance = None
+    rays = None
+    for s in range(cfg.spp):
+        r, k = render_sample(scene, cfg, cam, frame_idx, s)
+        radiance = r if radiance is None else radiance + r
+        rays = k if rays is None else rays + k
+    return radiance / cfg.spp, rays                # raygen.rgen:297
+
+
 def render_frame(scene: Scene, cfg: RenderConfig, cam: cam_mod.CameraState,
                  frame_idx) -> jnp.ndarray:
     """Render one frame's linear radiance f32[H, W, 3]."""
@@ -152,7 +152,6 @@ def render_frame(scene: Scene, cfg: RenderConfig, cam: cam_mod.CameraState,
     return radiance
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def render_step(scene: Scene, cfg: RenderConfig, cam: cam_mod.CameraState,
                 film: film_mod.Film) -> film_mod.Film:
     """One progressive step: render at film.frame and fold into the film."""
