@@ -77,7 +77,7 @@ def main(argv=None):
     ap.add_argument("--configs", default="1,2,3,4,5")
     args = ap.parse_args(argv)
 
-    from pathtracer.accel.lbvh import build_scene_bvh
+    from pathtracer.accel.cluster import build_scene_clusters
     from pathtracer.bench.harness import bench_scene
 
     wanted = {int(x) for x in args.configs.split(",")}
@@ -85,8 +85,8 @@ def main(argv=None):
             build_configs(args.scale), start=1):
         if i not in wanted:
             continue
-        scene = build_scene_bvh(scene_fn())
-        res = bench_scene(scene, cfg, camera, warmup=1, frames=args.frames)
+        scene = build_scene_clusters(scene_fn())
+        res = bench_scene(scene, cfg, camera, warmup=3, frames=args.frames)
         print(json.dumps({
             "config": name,
             "mrays_per_sec": round(res.mrays_per_sec, 3),

@@ -51,8 +51,8 @@ def _pallas_interpret():
 
     return jax.devices()[0].platform not in ("tpu", "axon")
 
-TILE_RAYS = 256          # rays per tile (packet width; sweep optimum)
-CHUNK_TILES = 64         # tiles per chunked launch (16384 rays)
+TILE_RAYS = 64           # rays per tile (packet width; sweep optimum)
+CHUNK_TILES = 512        # tiles per chunked launch (32768 rays)
 CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
 CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 

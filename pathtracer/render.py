@@ -74,11 +74,11 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
 
 
 # Pixel-block swizzle: consecutive lanes cover BLOCK_W x BLOCK_H pixel
-# blocks, so each traversal tile (kernels/packet.TILE_RAYS = 128 rays) is a
-# compact screen rectangle instead of a scanline - tighter tile frusta,
+# blocks, so each traversal tile (kernels/packet.TILE_RAYS rays) is a
+# compact screen square instead of a scanline - tighter tile frusta,
 # smaller cluster unions. Pure index math + reshapes; pixel ids keep their
 # true row-major values so per-pixel RNG streams are swizzle-invariant.
-BLOCK_W = 16
+BLOCK_W = 8
 BLOCK_H = 8
 
 
@@ -132,9 +132,8 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
     """Render one frame's radiance estimate (mean of cfg.spp samples).
 
     HOST-level spp loop over per-sample TPU programs: dispatches chain
-    asynchronously on-device, while keeping each compiled program at
-    one sample's size (a single multi-spp program was measured ~3x
-    slower PER SAMPLE - docs/PERF.md "open question").
+    asynchronously on-device, each compiled program stays at one sample's
+    size, and spp scales linearly.
     """
     radiance = None
     rays = None
