@@ -12,7 +12,10 @@ Scale down for smoke runs: --scale 0.25 (resolution) --frames 2.
 
 import argparse
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

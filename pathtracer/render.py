@@ -30,7 +30,17 @@ from pathtracer.scene.types import Scene
 def make_intersectors(scene: Scene, cfg: RenderConfig):
     """Build (intersect_fn, occluded_fn) closures for the chosen backend."""
     v0, v1, v2 = scene.tri_vertices(jnp.arange(scene.n_tris))
-    if cfg.intersector == "cluster":
+    # Tiny scenes: the packet machinery (sort + cull + schedule + sweep)
+    # costs more than just testing every triangle densely.
+    use_brute = (cfg.intersector == "brute"
+                 or (cfg.intersector == "cluster" and scene.n_tris <= 256))
+    if use_brute:
+        def intersect_fn(o, d, t_min, t_max):
+            return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
+
+        def occluded_fn(o, d, t_max):
+            return isect.occluded_brute(o, d, t_max, v0, v1, v2)
+    elif cfg.intersector == "cluster":
         if scene.clusters is None:
             raise ValueError(
                 "cfg.intersector='cluster' but scene has no cluster accel; "
@@ -50,12 +60,6 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def occluded_fn(o, d, t_max):
             return packet.occluded_clusters(accel, o, d, t_max,
                                             backend=backend)
-    elif cfg.intersector == "brute":
-        def intersect_fn(o, d, t_min, t_max):
-            return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
-
-        def occluded_fn(o, d, t_max):
-            return isect.occluded_brute(o, d, t_max, v0, v1, v2)
     else:
         if scene.bvh is None:
             raise ValueError(
