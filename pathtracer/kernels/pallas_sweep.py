@@ -37,6 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 from pathtracer.kernels.intersect import DET_EPS
 
 LANES = 128
+SLOTS = 4                # DMA prefetch ring depth (measured perf-neutral
+                         # at K=512 - the sweep is VPU-compute-bound - but
+                         # hides fetch latency for larger blocks)
 
 
 def _mt_lane(block, rays, t_min, best_t):
@@ -106,7 +109,14 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
                 sems.at[slot, q],
             ).wait()
 
-    start_dma(0, 0)
+    # prefetch ring: columns 0..SLOTS-1 in flight before the loop
+    for c0 in range(SLOTS - 1):
+        if c0 == 0:
+            start_dma(0, 0)
+        else:
+            @pl.when(jnp.int32(c0) < n_cols)
+            def _(c0=c0):
+                start_dma(c0 % SLOTS, c0)
 
     tid_row = 9  # block row holding tri-id bits
 
@@ -116,11 +126,12 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
     def body(carry):
         col, best_t, best_tri, best_u, best_v, max_best = carry
-        slot = jax.lax.rem(col, 2)
+        slot = jax.lax.rem(col, SLOTS)
 
-        @pl.when(col + 1 < n_cols)
+        @pl.when(col + (SLOTS - 1) < n_cols)
         def _():
-            start_dma(1 - slot, col + 1)
+            start_dma(jax.lax.rem(col + (SLOTS - 1), SLOTS),
+                      col + (SLOTS - 1))
 
         wait_dma(slot)
         block = scratch[slot]
@@ -158,13 +169,13 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
     col_f, best_t, best_tri, best_u, best_v, _ = jax.lax.while_loop(
         cond, body, init)
 
-    # Drain the in-flight prefetch so the next grid step starts clean:
-    # on exit at column col_f < n_cols there is exactly one outstanding
-    # DMA group on slot col_f % 2 (the initial one if the loop never ran,
-    # else the prefetch issued while processing col_f - 1).
-    @pl.when(col_f < n_cols)
-    def _():
-        wait_dma(jax.lax.rem(col_f, 2))
+    # Drain in-flight prefetches so the next grid step starts clean: on
+    # exit at column col_f, DMAs were issued for columns col_f ..
+    # min(col_f + SLOTS - 2, n_cols - 1) (the SLOTS-1 deep ring).
+    for off in range(SLOTS - 1):
+        @pl.when(col_f + off < n_cols)
+        def _(off=off):
+            wait_dma(jax.lax.rem(col_f + off, SLOTS))
 
     t_ref[0, 0, :] = best_t[:, 0]
     tri_ref[0, 0, :] = best_tri[:, 0]
@@ -197,7 +208,13 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
                 sems.at[slot, q],
             ).wait()
 
-    start_dma(0, 0)
+    for c0 in range(SLOTS - 1):
+        if c0 == 0:
+            start_dma(0, 0)
+        else:
+            @pl.when(jnp.int32(c0) < n_cols)
+            def _(c0=c0):
+                start_dma(c0 % SLOTS, c0)
 
     def cond(carry):
         col, blocked, n_open = carry
@@ -206,11 +223,12 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
 
     def body(carry):
         col, blocked, n_open = carry
-        slot = jax.lax.rem(col, 2)
+        slot = jax.lax.rem(col, SLOTS)
 
-        @pl.when(col + 1 < n_cols)
+        @pl.when(col + (SLOTS - 1) < n_cols)
         def _():
-            start_dma(1 - slot, col + 1)
+            start_dma(jax.lax.rem(col + (SLOTS - 1), SLOTS),
+                      col + (SLOTS - 1))
 
         wait_dma(slot)
         block = scratch[slot]
@@ -243,9 +261,10 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
     )
     col_f, blocked, _ = jax.lax.while_loop(cond, body, init)
 
-    @pl.when(col_f < n_cols)
-    def _():
-        wait_dma(jax.lax.rem(col_f, 2))
+    for off in range(SLOTS - 1):
+        @pl.when(col_f + off < n_cols)
+        def _(off=off):
+            wait_dma(jax.lax.rem(col_f + off, SLOTS))
 
     out_ref[0, 0, :] = blocked[:, 0]
 
@@ -307,8 +326,8 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
             jax.ShapeDtypeStruct((tiles, 1, r), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, cpi * k), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, cpi)),
+            pltpu.VMEM((SLOTS, 16, cpi * k), jnp.float32),
+            pltpu.SemaphoreType.DMA((SLOTS, cpi)),
         ],
         interpret=interpret,
     )(st[:, None, :], si[:, None, :], rays.reshape(tiles, 6, r),
@@ -345,8 +364,8 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False):
             jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, cpi * k), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, cpi)),
+            pltpu.VMEM((SLOTS, 16, cpi * k), jnp.float32),
+            pltpu.SemaphoreType.DMA((SLOTS, cpi)),
         ],
         interpret=interpret,
     )(st[:, None, :], si[:, None, :], rays.reshape(tiles, 6, r),
