@@ -71,6 +71,30 @@ bool inflate_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
 
 extern "C" {
 
+namespace {
+
+// Scan the chunk list for a tRNS chunk (transparency for palette /
+// colorkey images). Returns its body, or nullptr if absent.
+const uint8_t* find_trns(const uint8_t* data, int64_t n, size_t* trns_n) {
+  int64_t off = 8;
+  while (off + 12 <= n) {
+    uint32_t len = be32(data + off);
+    const uint8_t* type = data + off + 4;
+    if (off + 12 + len > n) return nullptr;
+    if (std::memcmp(type, "tRNS", 4) == 0) {
+      *trns_n = len;
+      return data + off + 8;
+    }
+    if (std::memcmp(type, "IDAT", 4) == 0 ||
+        std::memcmp(type, "IEND", 4) == 0)
+      return nullptr;  // tRNS must precede IDAT
+    off += 12 + len;
+  }
+  return nullptr;
+}
+
+}  // namespace
+
 // Probe a PNG header: fills (width, height, channels) of the DECODED RGBA8
 // output this library would produce. Returns 0 on "can decode", nonzero on
 // "fall back to Python".
@@ -81,15 +105,19 @@ int pt_png_probe(const uint8_t* data, int64_t n, int32_t* width,
   uint32_t w = be32(data + 16), h = be32(data + 20);
   uint8_t depth = data[24], color = data[25], interlace = data[28];
   if (depth != 8 || interlace != 0) return 3;
+  size_t trns_n = 0;
+  const uint8_t* trns = find_trns(data, n, &trns_n);
   int ch;
   switch (color) {
     case 0: ch = 1; break;   // gray
     case 2: ch = 3; break;   // rgb
-    case 3: ch = 3; break;   // palette -> rgb
+    case 3: ch = trns ? 4 : 3; break;  // palette -> rgb / rgba (tRNS)
     case 4: ch = 2; break;   // gray+alpha
     case 6: ch = 4; break;   // rgba
     default: return 4;
   }
+  // gray/RGB colorkey transparency: rare; defer to the Python decoder
+  if (trns && color != 3) return 6;
   if (w == 0 || h == 0 || w > (1u << 20) || h > (1u << 20)) return 5;
   *width = int32_t(w);
   *height = int32_t(h);
@@ -161,14 +189,18 @@ int pt_png_decode(const uint8_t* data, int64_t n, uint8_t* out) {
     std::memcpy(prev.data(), dst, stride);
   }
 
-  // expand palette / copy out
+  // expand palette (+ tRNS alpha when probed as RGBA) / copy out
   if (color == 3) {
+    size_t trns_n = 0;
+    const uint8_t* trns = find_trns(data, n, &trns_n);
     for (size_t i = 0; i < size_t(h) * w; ++i) {
       uint8_t idx = img[i];
       if (size_t(idx) * 3 + 2 >= plte_n) return 8;
-      out[i * 3 + 0] = plte[idx * 3 + 0];
-      out[i * 3 + 1] = plte[idx * 3 + 1];
-      out[i * 3 + 2] = plte[idx * 3 + 2];
+      out[i * out_ch + 0] = plte[idx * 3 + 0];
+      out[i * out_ch + 1] = plte[idx * 3 + 1];
+      out[i * out_ch + 2] = plte[idx * 3 + 2];
+      if (out_ch == 4)
+        out[i * 4 + 3] = (size_t(idx) < trns_n) ? trns[idx] : 255;
     }
   } else {
     std::memcpy(out, img.data(), img.size());

@@ -100,11 +100,13 @@ def pack_surface_rows(scene: Scene) -> jnp.ndarray:
     p1 = scene.positions[i1]
     p2 = scene.positions[i2]
     gn = vmath.normalize(vmath.cross(p1 - p0, p2 - p0))
-    mid_bits = jax.lax.bitcast_convert_type(
-        scene.face_material.astype(jnp.int32), jnp.float32)
+    # material id rides as a float VALUE (mid + 1, exact below 2^24), never
+    # a bitcast: small int bit patterns are f32 denormals, which TPU vector
+    # ops flush to zero (docs/PERF.md "TPU numerics traps")
+    mid_val = (scene.face_material.astype(jnp.int32) + 1).astype(jnp.float32)
     cols = [scene.normals[i0], scene.normals[i1], scene.normals[i2],
             scene.uvs[i0], scene.uvs[i1], scene.uvs[i2],
-            gn, mid_bits[:, None], scene.tri_light_pdf_area[:, None]]
+            gn, mid_val[:, None], scene.tri_light_pdf_area[:, None]]
     if scene.has_textures:
         cols += [scene.tangents[i0], scene.tangents[i1], scene.tangents[i2]]
     rows = jnp.concatenate(cols, axis=1)
@@ -144,7 +146,7 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
 
     geom_normal = row[:, 15:18]
 
-    mid = jax.lax.bitcast_convert_type(row[:, 18], jnp.int32)
+    mid = jnp.round(row[:, 18]).astype(jnp.int32) - 1
     albedo = scene.mat_albedo[mid]
     emission = scene.mat_emission[mid]
     roughness = scene.mat_roughness[mid]

@@ -122,7 +122,10 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
     def cond(carry):
         col, best_t, best_tri, best_u, best_v, max_best = carry
-        return (col < n_cols) & (st_ref[0, 0, col * cpi] < max_best)
+        # & is not short-circuit: clamp the SMEM index so col == n_cols
+        # never reads past the (1, 1, cs) block
+        col_c = jnp.minimum(col, n_cols - 1)
+        return (col < n_cols) & (st_ref[0, 0, col_c * cpi] < max_best)
 
     def body(carry):
         col, best_t, best_tri, best_u, best_v, max_best = carry
@@ -218,7 +221,8 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
 
     def cond(carry):
         col, blocked, n_open = carry
-        return (col < n_cols) & (st_ref[0, 0, col * cpi] < jnp.inf) \
+        col_c = jnp.minimum(col, n_cols - 1)   # keep SMEM read in bounds
+        return (col < n_cols) & (st_ref[0, 0, col_c * cpi] < jnp.inf) \
             & (n_open > 0)
 
     def body(carry):

@@ -40,6 +40,17 @@ _TYPE_COUNT = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
                "MAT3": 9, "MAT4": 16}
 
 
+def _normalize_int(arr: np.ndarray) -> np.ndarray:
+    """glTF integer normalization: x/max, clamped at -1 for signed types
+    (int8 -128 would otherwise give -1.0079; matches the native unpack,
+    native/pathtracer_native.cpp pt_accessor_to_f32)."""
+    info = np.iinfo(arr.dtype)
+    out = arr.astype(np.float32) / float(info.max)
+    if info.min < 0:
+        out = np.maximum(out, -1.0)
+    return out
+
+
 class _Gltf:
     def __init__(self, path: str):
         self.dir = os.path.dirname(os.path.abspath(path))
@@ -121,25 +132,30 @@ class _Gltf:
                     for k in range(n)])
                 out = rows.view(dtype).reshape(n, ncomp)
         if acc.get("normalized") and np.issubdtype(dtype, np.integer):
-            info = np.iinfo(dtype)
-            out = out.astype(np.float32) / float(info.max)
-        # sparse accessor substitution
+            out = _normalize_int(out)
+        # sparse accessor substitution (indices/values carry their own
+        # componentType / the accessor's; both honor sparse.count)
         sp = acc.get("sparse")
         if sp:
-            idx = self._sparse_array(sp["indices"], 1).reshape(-1)
-            vals = self._sparse_array(sp["values"], ncomp)
+            sc = int(sp["count"])
+            idx = self._sparse_array(
+                sp["indices"], sc, 1,
+                sp["indices"]["componentType"]).reshape(-1).astype(np.int64)
+            vals = self._sparse_array(
+                sp["values"], sc, ncomp, acc["componentType"])
+            if acc.get("normalized") and np.issubdtype(dtype, np.integer):
+                vals = _normalize_int(vals)
             out = out.copy()
             out[idx] = vals
         return out
 
-    def _sparse_array(self, ref, ncomp):
+    def _sparse_array(self, ref, count, ncomp, component_type):
         bv = self.doc["bufferViews"][ref["bufferView"]]
         data = self.buffer(bv["buffer"])
         start = bv.get("byteOffset", 0) + ref.get("byteOffset", 0)
-        dtype = _COMPONENT_DTYPE[ref.get("componentType", 5126)]
-        count = -1
-        arr = np.frombuffer(data, dtype, offset=start)
-        return arr.reshape(-1, ncomp) if ncomp > 1 else arr
+        dtype = _COMPONENT_DTYPE[component_type]
+        arr = np.frombuffer(data, dtype, count=count * ncomp, offset=start)
+        return arr.reshape(count, ncomp) if ncomp > 1 else arr.copy()
 
     def image_rgba(self, image_index: int) -> np.ndarray:
         img = self.doc["images"][image_index]

@@ -132,6 +132,59 @@ def test_gltf_material_extraction(tmp_path):
                                atol=1e-6)
 
 
+def test_gltf_sparse_accessor(tmp_path):
+    """Sparse POSITION override honors sparse.count + componentTypes."""
+    base = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    sp_idx = np.array([2], np.uint16)
+    sp_val = np.array([[0, 2, 0]], np.float32)
+    # trailing garbage after the sparse values: the loader must stop at
+    # sparse.count, not read to end-of-buffer
+    junk = np.full(6, 7.5, np.float32)
+    blob = (base.tobytes() + idx.tobytes() + b"\x00\x00"
+            + sp_idx.tobytes() + b"\x00\x00" + sp_val.tobytes()
+            + junk.tobytes())
+    off_idx = len(base.tobytes())
+    off_spi = off_idx + 8
+    off_spv = off_spi + 4
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}], "scene": 0,
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0},
+                                    "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3,
+             "type": "VEC3",
+             "sparse": {
+                 "count": 1,
+                 "indices": {"bufferView": 2, "componentType": 5123},
+                 "values": {"bufferView": 3},
+             }},
+            {"bufferView": 1, "componentType": 5123, "count": 3,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": off_idx, "byteLength": 6},
+            {"buffer": 0, "byteOffset": off_spi, "byteLength": 2},
+            {"buffer": 0, "byteOffset": off_spv, "byteLength": 12},
+        ],
+        "buffers": [{
+            "byteLength": len(blob),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode(),
+        }],
+    }
+    p = os.path.join(tmp_path, "sparse.gltf")
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    s = load_gltf(p).finalize()
+    got = np.asarray(s.positions)
+    np.testing.assert_allclose(got[2], [0, 2, 0], atol=1e-6)
+    np.testing.assert_allclose(got[0], [0, 0, 0], atol=1e-6)
+
+
 OBJ_SAMPLE = """
 # simple two-material square + extra tri
 mtllib mats.mtl

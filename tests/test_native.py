@@ -43,6 +43,34 @@ def test_png_matches_pil():
     np.testing.assert_array_equal(back, img)
 
 
+def test_png_palette_trns_matches_pil():
+    """Palettized PNG with tRNS decodes to RGBA (alpha-cutout textures)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, 4, (10, 13), np.uint8)
+    im = PIL.fromarray(idx, mode="P")
+    im.putpalette([10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 210, 220])
+    buf = io.BytesIO()
+    im.save(buf, format="PNG", transparency=bytes([255, 128, 0, 64]),
+            bits=8)  # keep 8-bit indices (the native decoder's scope)
+    data = buf.getvalue()
+
+    back = native.png_decode(data)
+    assert back is not None and back.shape == (10, 13, 4)
+    ref = np.asarray(PIL.open(io.BytesIO(data)).convert("RGBA"))
+    np.testing.assert_array_equal(back, ref)
+
+    # opaque palette still decodes as plain RGB
+    buf2 = io.BytesIO()
+    im.save(buf2, format="PNG", bits=8)
+    back2 = native.png_decode(buf2.getvalue())
+    assert back2 is not None and back2.shape == (10, 13, 3)
+    ref2 = np.asarray(PIL.open(io.BytesIO(buf2.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(back2, ref2)
+
+
 def test_accessor_f32_strided_normalized():
     # interleaved [pos f32x3 | normal i16x3 normalized] stride 20
     count = 11
