@@ -80,6 +80,15 @@ class RenderConfig:
     # Ray-batch chunking: rays per jitted wavefront launch. 0 = whole frame.
     rays_per_chunk: int = 0
 
+    # Integrator-owned wavefront compaction (round 2): re-sort the whole
+    # wavefront ONCE per bounce by (dead, direction octant, origin Morton)
+    # inside the bounce loop, so (a) the packet traversal inherits a
+    # coherent order and skips its per-chunk/per-call coherence sorts, and
+    # (b) dead lanes compact to the back of the wavefront where whole
+    # traversal chunks skip via lax.cond (static-shape stream compaction;
+    # BASELINE north star "ray sorting + stream compaction").
+    wavefront_sort: bool = True
+
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
             raise ValueError("resolution must be positive")

@@ -58,27 +58,36 @@ class Surface(NamedTuple):
     light_pdf_area: jnp.ndarray  # [N] p_select/area if emissive else 0
 
 
-def _sample_texture(textures, tex_id, u, v):
-    """Bilinear, repeat-wrap texture fetch from the padded stack.
+def _sample_texture(textures, tex_wh, tex_id, u, v):
+    """Bilinear, repeat-wrap texture fetch from the u8 stack.
 
-    textures: f32[K, TH, TW, 4]; tex_id: i32[N] (-1 = none, clamped to 0 and
-    masked by the caller); u, v: f32[N]. Matches the reference's
-    linear-filter repeat sampler (texture.cpp:57-66).
+    textures: u8[K, TH, TW, 4] stored at TRUE per-texture dims (top-left,
+    zero-padded to the stack max); tex_wh: i32[K, 2] true (w, h); tex_id:
+    i32[N] (-1 = none, clamped to 0 and masked by the caller); u, v:
+    f32[N]. Matches the reference's linear-filter repeat sampler
+    (texture.cpp:57-66); u8 -> f32 decode happens AFTER the gather so the
+    gather moves 4 bytes/texel instead of 16.
     """
-    th, tw = textures.shape[1], textures.shape[2]
     tid = jnp.maximum(tex_id, 0)
-    x = u * tw - 0.5
-    y = v * th - 0.5
+    wh = tex_wh[tid]                                  # [N, 2]
+    twi = wh[:, 0]
+    thi = wh[:, 1]
+    x = u * twi.astype(jnp.float32) - 0.5
+    y = v * thi.astype(jnp.float32) - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    x0i = jnp.mod(x0.astype(jnp.int32), tw)
-    y0i = jnp.mod(y0.astype(jnp.int32), th)
-    x1i = jnp.mod(x0i + 1, tw)
-    y1i = jnp.mod(y0i + 1, th)
-    a = textures[tid, y0i, x0i] * (1 - fx) + textures[tid, y0i, x1i] * fx
-    b = textures[tid, y1i, x0i] * (1 - fx) + textures[tid, y1i, x1i] * fx
+    x0i = jnp.mod(x0.astype(jnp.int32), twi)
+    y0i = jnp.mod(y0.astype(jnp.int32), thi)
+    x1i = jnp.mod(x0i + 1, twi)
+    y1i = jnp.mod(y0i + 1, thi)
+
+    def texel(yy, xx):
+        return textures[tid, yy, xx].astype(jnp.float32) * (1.0 / 255.0)
+
+    a = texel(y0i, x0i) * (1 - fx) + texel(y0i, x1i) * fx
+    b = texel(y1i, x0i) * (1 - fx) + texel(y1i, x1i) * fx
     return a * (1 - fy) + b * fy
 
 
@@ -158,14 +167,14 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         # Albedo: sRGB-encoded texture REPLACES the factor and linearizes
         # with pow 2.2; alpha multiplies (closesthit.rchit:88-92).
         at = scene.mat_albedo_tex[mid]
-        tex = _sample_texture(scene.textures, at, u, v)
+        tex = _sample_texture(scene.textures, scene.tex_wh, at, u, v)
         has_at = (at >= 0)
         albedo = jnp.where(has_at[..., None],
                            jnp.maximum(tex[..., :3], 0.0) ** 2.2, albedo)
         alpha = jnp.where(has_at, alpha * tex[..., 3], alpha)
         # Metal-rough from G/B channels, multiplied (closesthit.rchit:97-101).
         mrt = scene.mat_mr_tex[mid]
-        mr = _sample_texture(scene.textures, mrt, u, v)
+        mr = _sample_texture(scene.textures, scene.tex_wh, mrt, u, v)
         has_mr = (mrt >= 0)
         roughness = jnp.where(has_mr, roughness * mr[..., 1], roughness)
         metallic = jnp.where(has_mr, metallic * mr[..., 2], metallic)
@@ -176,7 +185,7 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         t1 = row[:, 23:26]
         t2 = row[:, 26:29]
         tangent = vmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
-        nm = _sample_texture(scene.textures, nt, u, v)[..., :3] * 2.0 - 1.0
+        nm = _sample_texture(scene.textures, scene.tex_wh, nt, u, v)[..., :3] * 2.0 - 1.0
         t_ortho = vmath.normalize(tangent - normal * vmath.dotk(normal, tangent))
         b = vmath.cross(normal, t_ortho)
         mapped = vmath.normalize(
@@ -317,15 +326,41 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
+def _wavefront_order(scene: Scene, o, d, active):
+    """Compaction + coherence permutation for one bounce.
+
+    Key = (dead?, direction octant, origin Morton): dead lanes sort to the
+    wavefront tail (whole traversal chunks of them skip via lax.cond -
+    static-shape stream compaction), live lanes group by direction octant
+    then origin locality so traversal tiles want the same clusters. Stable,
+    so primary rays (identical origins) keep their swizzled pixel-block
+    order within an octant.
+    """
+    from pathtracer.accel import morton as morton_mod
+
+    lo = jnp.min(scene.positions, axis=0)
+    hi = jnp.max(scene.positions, axis=0)
+    octant = ((d[:, 0] > 0).astype(jnp.uint32)
+              + 2 * (d[:, 1] > 0).astype(jnp.uint32)
+              + 4 * (d[:, 2] > 0).astype(jnp.uint32))
+    m = morton_mod.morton_codes(o, lo=lo, hi=hi)      # 30-bit
+    key = (octant << jnp.uint32(27)) | (m >> jnp.uint32(3))
+    key = jnp.where(active, key, jnp.uint32(0xFFFFFFFF))
+    return jnp.argsort(key, stable=True).astype(jnp.int32)
+
+
 def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
                 intersect_fn: Callable, occluded_fn: Callable):
     """Trace a batch of paths to completion.
 
-    Returns (radiance f32[N,3], rays_traced f32 scalar). The ray counter is
-    exact - path rays actually traced plus NEE shadow rays - a free
-    by-product of the active masks (SURVEY.md par.5 "Tracing": Mrays/s from
-    real ray counts, not upper bounds).
+    Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
+    scalar). With cfg.wavefront_sort the wavefront is re-permuted once per
+    bounce (see _wavefront_order), so radiance comes back in the LAST
+    bounce's order - callers scatter by pixel_ids_out (which ride along in
+    the carry). The ray counter is exact - path rays actually traced plus
+    NEE shadow rays - a free by-product of the active masks (SURVEY.md
+    par.5 "Tracing": Mrays/s from real ray counts, not upper bounds).
 
     intersect_fn(o, d, t_min, t_max) -> Hit
     occluded_fn(o, d, t_max) -> bool[N]
@@ -334,13 +369,32 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     gain = cfg.emission_gain
     env_nee = (cfg.env_importance_sampling and cfg.sky == "envmap"
                and scene.has_envmap)
+    do_sort = cfg.wavefront_sort
     # One wide attribute row per triangle, packed once per frame (XLA CSEs
     # the O(T) pack across bounces); see pack_surface_rows.
     surf_rows = pack_surface_rows(scene)
 
     def segment(carry, depth):
         """Trace + emission collection shared by every bounce (incl. last)."""
-        o, d, throughput, radiance, active, prev_pdf, rays_traced = carry
+        o, d, throughput, radiance, active, prev_pdf, pix, samp, \
+            rays_traced = carry
+        if do_sort:
+            # ONE argsort + two row-gathers per bounce replaces the packet
+            # layer's per-chunk/per-call coherence sorts (docs/PERF.md
+            # par.3.1: per-chunk prep was ~40% of deep-bounce frames) and
+            # compacts dead lanes to the tail for the chunk-skip.
+            order = _wavefront_order(scene, o, d, active)
+            row = jnp.concatenate(
+                [o, d, throughput, radiance, prev_pdf[:, None],
+                 active.astype(jnp.float32)[:, None]], axis=1)[order]
+            ids = jnp.stack([pix.astype(jnp.int32),
+                             samp.astype(jnp.int32)], axis=1)[order]
+            o, d = row[:, 0:3], row[:, 3:6]
+            throughput, radiance = row[:, 6:9], row[:, 9:12]
+            prev_pdf = row[:, 12]
+            active = row[:, 13] > 0.5
+            pix = ids[:, 0].astype(pixel_ids.dtype)
+            samp = ids[:, 1].astype(sample_ids.dtype)
         rays_traced = rays_traced + jnp.sum(active.astype(jnp.float32))
         # Park dead lanes at +inf so the packet kernel's coherence sort
         # groups them into all-dead tiles that terminate immediately
@@ -382,7 +436,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         radiance = radiance + jnp.where(
             hit_ok[..., None],
             throughput * surf.emission * gain * w_emit[..., None], 0.0)
-        carry = (o, d, throughput, radiance, active, prev_pdf, rays_traced)
+        carry = (o, d, throughput, radiance, active, prev_pdf, pix, samp,
+                 rays_traced)
         return carry, surf
 
     def bounce(depth, carry):
@@ -392,11 +447,12 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         depth index is traced; per-bounce RNG keys take it as a counter).
         """
         carry, surf = segment(carry, depth)
-        o, d, throughput, radiance, active, prev_pdf, rays_traced = carry
+        o, d, throughput, radiance, active, prev_pdf, pix, samp, \
+            rays_traced = carry
         view = -d
 
         # --- alpha stochastic transparency (raygen.rgen:143-146) ---
-        u_alpha = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_ALPHA,
+        u_alpha = rng.uniform1(pix, samp, depth, rng.SALT_ALPHA,
                                cfg.seed)
         passthrough = active & (surf.alpha < 0.99) & (u_alpha > surf.alpha)
 
@@ -410,7 +466,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         refr, tir = vmath.refract(d, n_eff, eta_ratio)
         refl_prob = vmath.saturate(
             mf.schlick_scalar(jnp.abs(cosi), 0.04))  # raygen.rgen:158
-        u_d = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_DIELECTRIC,
+        u_d = rng.uniform1(pix, samp, depth, rng.SALT_DIELECTRIC,
                            cfg.seed)
         take_refl = tir | (u_d < refl_prob)
         d_dielectric = jnp.where(take_refl[..., None],
@@ -419,22 +475,22 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         # --- NEE (raygen.rgen:168-261) ---
         shade = active & ~passthrough & ~is_dielectric
         if scene.has_lights:
-            nee = _nee(scene, cfg, surf, view, pixel_ids, sample_ids, depth,
+            nee = _nee(scene, cfg, surf, view, pix, samp, depth,
                        occluded_fn, shade)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * nee, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
         if env_nee:
-            env_c = _nee_env(scene, cfg, surf, view, pixel_ids, sample_ids,
+            env_c = _nee_env(scene, cfg, surf, view, pix, samp,
                              depth, occluded_fn, shade)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * env_c, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
 
         # --- BSDF sampling (raygen.rgen:263-283) ---
-        u_lobe = rng.uniform1(pixel_ids, sample_ids, depth,
+        u_lobe = rng.uniform1(pix, samp, depth,
                               rng.SALT_BSDF_LOBE, cfg.seed)
-        u1, u2 = rng.uniform2(pixel_ids, sample_ids, depth, rng.SALT_BSDF_UV,
+        u1, u2 = rng.uniform2(pix, samp, depth, rng.SALT_BSDF_UV,
                               cfg.seed)
         p_spec = mf.lobe_select_prob(surf.metallic, surf.roughness)
         choose_spec = u_lobe < p_spec
@@ -481,7 +537,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         # branch, so the bounce body stays depth-independent
         p = jnp.clip(vmath.maxc(throughput), cfg.rr_clamp_lo,
                      cfg.rr_clamp_hi)
-        u_rr = rng.uniform1(pixel_ids, sample_ids, depth, rng.SALT_RR,
+        u_rr = rng.uniform1(pix, samp, depth, rng.SALT_RR,
                             cfg.seed)
         survive = u_rr <= p
         rr_applies = (active & ~passthrough & ~is_dielectric
@@ -490,7 +546,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         throughput = jnp.where((rr_applies & survive)[..., None],
                                throughput / p[..., None], throughput)
         active = active & (vmath.maxc(throughput) >= cfg.throughput_cutoff)
-        return (o, d, throughput, radiance, active, prev_pdf, rays_traced)
+        return (o, d, throughput, radiance, active, prev_pdf, pix, samp,
+                rays_traced)
 
     # Carry inits derive data-dependence from the ray arrays so their
     # varying-axes match the loop outputs under shard_map (same trick as
@@ -499,6 +556,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
            + pixel_ids.astype(jnp.float32) * 0.0
            + sample_ids.astype(jnp.float32) * 0.0)
     ref3 = ref[..., None] * jnp.zeros((3,), jnp.float32)
+    refi = (ref * 0.0).astype(jnp.int32)
     carry = (
         origins + ref3, directions + ref3,
         ref3 + 1.0,                                 # throughput
@@ -507,15 +565,17 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         # Last BSDF solid-angle pdf, for MIS on emitter hits; inf marks delta
         # segments (camera, dielectric, alpha passthrough) => weight 1.
         ref * 0.0 + jnp.inf,                        # prev_pdf
+        pixel_ids + refi.astype(pixel_ids.dtype),   # pixel ids ride along
+        sample_ids + refi.astype(sample_ids.dtype),
         jnp.sum(ref) * 0.0,                         # rays_traced
     )
     if cfg.max_depth > 1:
         # fori (not while-any(active)): an early-exit while was measured 2x
         # SLOWER end-to-end - the all-lanes cond reduction serializes the
-        # bounce pipeline, while parked dead lanes already make late
-        # bounces cheap.
+        # bounce pipeline, while compacted dead lanes already make late
+        # bounces cheap (chunk-skip + empty-tile termination).
         carry = jax.lax.fori_loop(0, cfg.max_depth - 1, bounce, carry)
     # last segment only collects emission (raygen.rgen:128 loop tail)
     carry, _ = segment(carry, cfg.max_depth - 1)
-    _, _, _, radiance, _, _, rays_traced = carry
-    return radiance, rays_traced
+    _, _, _, radiance, _, _, pix_out, _, rays_traced = carry
+    return radiance, pix_out, rays_traced

@@ -303,6 +303,18 @@ def _unsort_hit(t, tri, u, v, n, inv):
 def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
                      tile_rays, cpi, cull, backend="xla"):
     def run(rays):
+        # Static-shape stream compaction, chunk level: when the integrator
+        # compacts dead lanes to the wavefront tail (path.py wavefront_sort),
+        # whole chunks of parked rays skip the cull + schedule + sweep via
+        # a real branch (lax.cond executes one side on TPU).
+        def dead(rays):
+            z = (rays[0][:, 0] + rays[1][:, 0]) * 0.0
+            return Hit(t=z + jnp.inf, tri=z.astype(jnp.int32) - 1,
+                       u=z, v=z)
+
+        return jax.lax.cond(chunk_live(rays[0]), _run_live, dead, rays)
+
+    def _run_live(rays):
         o_in, d_in = rays
         n = o_in.shape[0]
         n_tiles = n // tile_rays
@@ -380,6 +392,12 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
 def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
                     backend="xla"):
     def run(rays):
+        def dead(rays):
+            return (rays[0][:, 0] + rays[1][:, 0]) * 0.0 > 1.0
+
+        return jax.lax.cond(chunk_live(rays[0]), _run_live, dead, rays)
+
+    def _run_live(rays):
         o_in, d_in, tmax_in = rays
         n = o_in.shape[0]
         n_tiles = n // tile_rays
@@ -451,14 +469,28 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
     return run
 
 
-def _pad_rays(arrs, n, tile_rays):
-    pad = (-n) % tile_rays
+# Pad lanes are PARKED rays (origin at _PARK, unit direction, tmax 0):
+# their results are sliced off, they never hit anything, and - unlike
+# replicating lane 0 - they keep fully-padded chunks in the dead-chunk
+# fast path (the lax.cond skip below).
+_PARK = 1e30
+_PAD_VALUES = (_PARK, 1.0, 0.0)
+
+
+def _pad_rays(arrs, n, multiple):
+    pad = (-n) % multiple
     if pad:
         arrs = tuple(
             jnp.concatenate(
-                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
-            for a in arrs)
+                [a, jnp.full((pad,) + a.shape[1:], _PAD_VALUES[i],
+                             a.dtype)])
+            for i, a in enumerate(arrs))
     return arrs, n + pad
+
+
+def chunk_live(o):
+    """A chunk is live if ANY lane is not parked (origins < _PARK)."""
+    return jnp.any(o[:, 0] < 1e29)
 
 
 def _chunk_map(fn, rays, n, tile_rays, chunk_rays):
@@ -468,13 +500,7 @@ def _chunk_map(fn, rays, n, tile_rays, chunk_rays):
     if total <= chunk:
         out = fn(rays)
         return jax.tree_util.tree_map(lambda x: x[:n], out)
-    pad = (-total) % chunk
-    if pad:
-        rays = tuple(
-            jnp.concatenate(
-                [r, jnp.broadcast_to(r[:1], (pad,) + r.shape[1:])])
-            for r in rays)
-        total += pad
+    (rays, total) = _pad_rays(rays, total, chunk)
     c = total // chunk
     chunked = tuple(r.reshape((c, chunk) + r.shape[1:]) for r in rays)
     out = jax.lax.map(fn, chunked)

@@ -87,10 +87,13 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
             sample_ids = jnp.full((m,), gs, jnp.uint32)
             o, d = cam_mod.generate_primary_rays(
                 cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids, cfg.seed)
-            r, _ = path_mod.trace_paths(
+            r, pix_out, _ = path_mod.trace_paths(
                 scene, cfg, o, d, pixel_ids_local, sample_ids,
                 intersect_fn, occluded_fn)
-            radiance = radiance + r
+            # lanes return in wavefront order; scatter-add by the riding
+            # pixel ids (shard-local: the tile slice is contiguous)
+            local = pix_out - pixel_ids_local[0]
+            radiance = radiance.at[local].add(r, unique_indices=True)
         # the one collective: reduce the sample shards over ICI.
         radiance = jax.lax.psum(radiance, "sample") / cfg.spp
         return radiance

@@ -52,14 +52,20 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             # magnitude slower than compiled XLA) - use the XLA sweep;
             # the kernel itself is covered by tests/test_pallas_sweep.py
             backend = "xla"
+        # With integrator-owned wavefront sorting (path.py), rays arrive
+        # already compacted + coherence-ordered: skip the packet layer's
+        # per-chunk sorts entirely.
+        sort_rays = not cfg.wavefront_sort
 
         def intersect_fn(o, d, t_min, t_max):
             return packet.intersect_clusters(accel, o, d, t_min, t_max,
-                                             backend=backend)
+                                             backend=backend,
+                                             sort_rays=sort_rays)
 
         def occluded_fn(o, d, t_max):
             return packet.occluded_clusters(accel, o, d, t_max,
-                                            backend=backend)
+                                            backend=backend,
+                                            sort_rays=sort_rays)
     else:
         if scene.bvh is None:
             raise ValueError(
@@ -124,11 +130,14 @@ def render_sample(scene: Scene, cfg: RenderConfig,
         (n,), frame_idx * cfg.spp + jnp.asarray(s, jnp.uint32), jnp.uint32)
     o, d = cam_mod.generate_primary_rays(
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
-    radiance, rays = path_mod.trace_paths(
+    radiance, pix_out, rays = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn)
-    if swizzled is not None:
-        return _unswizzle_image(radiance, w, h), rays
-    return radiance.reshape(h, w, 3), rays
+    # Lanes come back in the last bounce's wavefront order; one scatter by
+    # the riding pixel ids lands them row-major (this also absorbs the
+    # un-swizzle of the pixel-block layout).
+    img = jnp.zeros((n, 3), jnp.float32).at[pix_out].set(
+        radiance, unique_indices=True)
+    return img.reshape(h, w, 3), rays
 
 
 def render_frame_with_stats(scene: Scene, cfg: RenderConfig,

@@ -182,18 +182,23 @@ class SceneBuilder:
             pdf_sel = np.ones(1, np.float32)
             cdf = np.ones(1, np.float32)
 
-        # --- texture stack: pad to common resolution ---
+        # --- texture stack: u8 at TRUE dims, zero-padded to the max ---
+        # (u8 matches the reference's stb_image 8-bit decodes and keeps
+        # HBM bounded; the sampler wraps with per-texture dims, so no
+        # resampling happens at build time.)
         has_textures = len(self.textures) > 0
         if has_textures:
             th = max(t.shape[0] for t in self.textures)
             tw = max(t.shape[1] for t in self.textures)
-            stack = np.zeros((len(self.textures), th, tw, 4), np.float32)
+            stack = np.zeros((len(self.textures), th, tw, 4), np.uint8)
+            tex_wh = np.ones((len(self.textures), 2), np.int32)
             for i, t in enumerate(self.textures):
-                if t.shape[0] != th or t.shape[1] != tw:
-                    t = _resize_bilinear(t, th, tw)
-                stack[i] = t
+                q = np.clip(np.round(t * 255.0), 0, 255).astype(np.uint8)
+                stack[i, :t.shape[0], :t.shape[1]] = q
+                tex_wh[i] = (t.shape[1], t.shape[0])
         else:
-            stack = np.ones((1, 1, 1, 4), np.float32)
+            stack = np.full((1, 1, 1, 4), 255, np.uint8)
+            tex_wh = np.ones((1, 2), np.int32)
 
         envmap = (self.envmap if self.envmap is not None
                   else np.zeros((1, 1, 3), np.float32))
@@ -219,6 +224,7 @@ class SceneBuilder:
             mat_mr_tex=jnp.asarray([m.mr_tex for m in mats], dtype=jnp.int32),
             mat_normal_tex=jnp.asarray([m.normal_tex for m in mats], dtype=jnp.int32),
             textures=jnp.asarray(stack),
+            tex_wh=jnp.asarray(tex_wh),
             light_v0=jnp.asarray(light_v0),
             light_v1=jnp.asarray(light_v1),
             light_v2=jnp.asarray(light_v2),

@@ -79,8 +79,13 @@ class Scene:
     mat_mr_tex: jnp.ndarray      # i32 [M]
     mat_normal_tex: jnp.ndarray  # i32 [M]
 
-    # Texture stack: all textures resampled/padded to a common resolution.
-    textures: jnp.ndarray       # f32 [K, TH, TW, 4] raw (sRGB-encoded) values
+    # Texture stack: u8 raw (sRGB-encoded) values, stored at TRUE per-
+    # texture resolution in the top-left of a common-max-size stack (the
+    # reference's textures are 8-bit stb_image decodes, texture.cpp:13;
+    # u8 storage quarters the gather bandwidth and HBM footprint vs f32 -
+    # decode to f32 happens after the gather in _sample_texture).
+    textures: jnp.ndarray       # u8 [K, TH, TW, 4]
+    tex_wh: jnp.ndarray         # i32 [K, 2] true (width, height) per texture
 
     # Emissive triangle lights + CDF (main.cpp:261-324 semantics).
     light_v0: jnp.ndarray       # f32 [L, 3]
