@@ -33,6 +33,10 @@ def main():
     # 4 spp/frame mirrors the reference's per-frame workload
     # (assets/shaders/raygen.rgen:100); override for smoke runs.
     spp = int(os.environ.get("BENCH_SPP", 4))
+    # Textured headline by default (round 2): sRGB albedo + metal-rough +
+    # normal maps + alpha-cutout banners - the reference's real workload
+    # class (closesthit.rchit:88-112), not an untextured stand-in.
+    textured = os.environ.get("BENCH_TEXTURED", "1") != "0"
 
     from pathtracer.accel.cluster import build_scene_clusters
     from pathtracer.bench.harness import bench_scene
@@ -40,7 +44,7 @@ def main():
     from pathtracer.integrator.camera import Camera
     from pathtracer.scene.procedural import sponza_like
 
-    scene = sponza_like(target_tris=tris).finalize()
+    scene = sponza_like(target_tris=tris, textured=textured).finalize()
     scene = build_scene_clusters(scene)
 
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=6,
@@ -60,6 +64,7 @@ def main():
             "ms_per_frame": round(result.ms_per_frame, 3),
             "rays_per_frame": result.rays_per_frame,
             "tris": tris,
+            "textured": textured,
             "resolution": [width, height],
             "spp": cfg.spp,
             "max_depth": cfg.max_depth,

@@ -38,28 +38,93 @@ from pathtracer.render import Renderer
 from pathtracer.scene import procedural
 
 
-def load_scene(spec: str):
-    """Scene from a spec: procedural name or a .gltf/.glb/.obj path."""
-    if spec == "cornell":
-        return procedural.cornell_box().finalize()
-    if spec == "cornell-spheres":
-        return procedural.cornell_box(spheres=True).finalize()
-    if spec == "materials":
-        return procedural.cornell_box(materials_suite=True).finalize()
-    if spec == "bunny":
-        return procedural.bunny_like().finalize()
-    if spec == "sponza":
-        return procedural.sponza_like().finalize()
-    ext = os.path.splitext(spec)[1].lower()
-    if ext in (".gltf", ".glb"):
-        from pathtracer.scene.gltf import load_gltf
+_PRESETS = {
+    "cornell": lambda: procedural.cornell_box(),
+    "cornell-spheres": lambda: procedural.cornell_box(spheres=True),
+    "materials": lambda: procedural.cornell_box(materials_suite=True),
+    "bunny": lambda: procedural.bunny_like(),
+    "sponza": lambda: procedural.sponza_like(),
+    "sponza-textured": lambda: procedural.sponza_like(textured=True),
+}
 
-        return load_gltf(spec).finalize()
-    if ext == ".obj":
-        from pathtracer.scene.objload import load_obj
 
-        return load_obj(spec).finalize()
-    raise SystemExit(f"unknown scene: {spec}")
+def _parse_spec(spec: str):
+    """'path[@tx,ty,tz[,scale[,ry_deg]]]' -> (path, 4x4 transform|None).
+
+    The per-object TRS mirrors the reference's scene list
+    (main.cpp:150-171: per-SceneObject translate/scale + normal matrix).
+    """
+    if "@" not in spec:
+        return spec, None
+    path, params = spec.rsplit("@", 1)
+    vals = [float(x) for x in params.split(",")]
+    if len(vals) < 3:
+        raise SystemExit(f"bad transform in scene spec: {spec!r} "
+                         "(want tx,ty,tz[,scale[,ry_deg]])")
+    tx, ty, tz = vals[0:3]
+    s = vals[3] if len(vals) > 3 else 1.0
+    ry = math.radians(vals[4]) if len(vals) > 4 else 0.0
+    c, sn = math.cos(ry), math.sin(ry)
+    m = np.array([[s * c, 0, s * sn, tx],
+                  [0, s, 0, ty],
+                  [-s * sn, 0, s * c, tz],
+                  [0, 0, 0, 1]], np.float32)
+    return path, m
+
+
+def load_scene(specs):
+    """SceneBuilder from specs: ONE procedural preset name, or any number
+    of .gltf/.glb/.obj paths (each with an optional '@tx,ty,tz[,scale
+    [,ry_deg]]' transform) composed into one scene - the analog of the
+    reference's multi-model MODELS_TO_LOAD assembly (main.cpp:30-41,
+    150-235)."""
+    if isinstance(specs, str):
+        specs = [specs]
+    if len(specs) == 1 and specs[0] in _PRESETS:
+        return _PRESETS[specs[0]]()
+
+    from pathtracer.scene.build import SceneBuilder
+
+    builder = SceneBuilder()
+    for spec in specs:
+        path, transform = _parse_spec(spec)
+        if path in _PRESETS:
+            raise SystemExit(
+                f"procedural preset {path!r} cannot be composed with other "
+                "models; compose .gltf/.glb/.obj files")
+        ext = os.path.splitext(path)[1].lower()
+        if ext in (".gltf", ".glb"):
+            from pathtracer.scene.gltf import load_gltf
+
+            load_gltf(path, builder=builder, transform=transform)
+        elif ext == ".obj":
+            from pathtracer.scene.objload import load_obj
+
+            load_obj(path, builder=builder, transform=transform)
+        else:
+            raise SystemExit(f"unknown scene: {spec}")
+    return builder
+
+
+def load_envmap(path: str) -> np.ndarray:
+    """Environment radiance from a .hdr (Radiance RGBE) or LDR image."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".hdr":
+        from pathtracer.scene.hdr import read_hdr
+
+        return read_hdr(path)
+    with open(path, "rb") as f:
+        raw = f.read()
+    from pathtracer.utils import native
+
+    arr = native.png_decode(raw)
+    if arr is None:
+        from io import BytesIO
+
+        from PIL import Image
+
+        arr = np.asarray(Image.open(BytesIO(raw)).convert("RGB"))
+    return (arr[..., :3].astype(np.float32) / 255.0) ** 2.2
 
 
 def default_camera(spec: str) -> Camera:
@@ -69,6 +134,7 @@ def default_camera(spec: str) -> Camera:
         "materials": ((0.5, 0.5, 2.2), (0.5, 0.5, 0.0)),
         "bunny": ((0.0, 2.0, 5.0), (0.0, 1.0, 0.0)),
         "sponza": ((3.0, 4.5, 6.0), (14.0, 3.0, 6.0)),
+        "sponza-textured": ((3.0, 4.5, 6.0), (14.0, 3.0, 6.0)),
     }
     pos, tgt = presets.get(spec, ((0, 1, 4), (0, 0, 0)))
     cam = Camera(position=pos)
@@ -78,7 +144,10 @@ def default_camera(spec: str) -> Camera:
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--scene", action="append", default=None,
+                    help="procedural preset, or .gltf/.glb/.obj path with "
+                         "optional '@tx,ty,tz[,scale[,ry_deg]]' transform; "
+                         "repeat to compose several models (main.cpp:30-41)")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=4)
@@ -86,6 +155,12 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--sky", default="gradient",
                     choices=["gradient", "black", "hosek", "envmap"])
+    ap.add_argument("--envmap", default=None,
+                    help="equirect environment file (.hdr Radiance RGBE, "
+                         "or an LDR image) - required with --sky envmap")
+    ap.add_argument("--env-nee", action="store_true",
+                    help="importance-sample the env map with MIS "
+                         "(one extra shadow ray per bounce)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--intersector", default="cluster",
                     choices=["cluster", "bvh", "brute"])
@@ -101,12 +176,20 @@ def main(argv=None):
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
-    scene = load_scene(args.scene)
+    specs = args.scene or ["cornell"]
+    builder = load_scene(specs)
+    if args.sky == "envmap" and not args.envmap:
+        raise SystemExit("--sky envmap requires --envmap PATH "
+                         "(a zero envmap would render black)")
+    if args.envmap:
+        builder.set_envmap(load_envmap(args.envmap))
+    scene = builder.finalize()
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, sky=args.sky,
+                       env_importance_sampling=args.env_nee,
                        seed=args.seed, intersector=args.intersector,
                        traversal_backend=args.traversal_backend)
-    cam = default_camera(args.scene)
+    cam = default_camera(specs[0])
     r = Renderer(scene, cfg, cam)
 
     if args.checkpoint and os.path.exists(args.checkpoint):

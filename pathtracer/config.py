@@ -80,14 +80,21 @@ class RenderConfig:
     # Ray-batch chunking: rays per jitted wavefront launch. 0 = whole frame.
     rays_per_chunk: int = 0
 
-    # Integrator-owned wavefront compaction (round 2): re-sort the whole
-    # wavefront ONCE per bounce by (dead, direction octant, origin Morton)
-    # inside the bounce loop, so (a) the packet traversal inherits a
-    # coherent order and skips its per-chunk/per-call coherence sorts, and
-    # (b) dead lanes compact to the back of the wavefront where whole
-    # traversal chunks skip via lax.cond (static-shape stream compaction;
-    # BASELINE north star "ray sorting + stream compaction").
-    wavefront_sort: bool = True
+    # Integrator-owned wavefront compaction: re-sort the whole wavefront
+    # ONCE per bounce by (dead, direction octant, origin Morton) inside the
+    # bounce loop, so (a) the packet traversal inherits a coherent order
+    # and skips its per-chunk/per-call coherence sorts, and (b) dead lanes
+    # compact to the back of the wavefront where whole traversal chunks
+    # skip via lax.cond (static-shape stream compaction). Measured on v5e:
+    # the [N,16] state permute costs ~47 ms + 86 ms scatter at 2M lanes
+    # (docs/PERF.md round-2 log), so this LOSES to per-chunk sorting at
+    # 1080p - default False.
+    wavefront_sort: bool = False
+
+    # Packet-layer per-chunk coherence sort (kernels/packet.py): sort each
+    # 32k-ray chunk by (octant, origin Morton) inside every traversal call.
+    # Ignored when wavefront_sort already ordered the rays.
+    packet_sort: bool = True
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:

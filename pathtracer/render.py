@@ -55,7 +55,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         # With integrator-owned wavefront sorting (path.py), rays arrive
         # already compacted + coherence-ordered: skip the packet layer's
         # per-chunk sorts entirely.
-        sort_rays = not cfg.wavefront_sort
+        sort_rays = (not cfg.wavefront_sort) and cfg.packet_sort
 
         def intersect_fn(o, d, t_min, t_max):
             return packet.intersect_clusters(accel, o, d, t_min, t_max,

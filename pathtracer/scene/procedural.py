@@ -151,22 +151,98 @@ def bunny_like(subdivisions=6):
     return b
 
 
-def sponza_like(target_tris=262_000, seed=0):
+def _value_noise(n, seed, octaves=4):
+    """Tileable-ish value noise in [0, 1]: summed bilinear-upsampled grids."""
+    from pathtracer.scene.build import _resize_bilinear
+
+    rng = np.random.default_rng(seed)
+    out = np.zeros((n, n, 1), np.float32)
+    amp, total = 1.0, 0.0
+    for o in range(octaves):
+        g = rng.random((4 << o, 4 << o, 1)).astype(np.float32)
+        out += amp * _resize_bilinear(g, n, n)
+        total += amp
+        amp *= 0.5
+    return (out / total)[..., 0]
+
+
+def _sponza_textures(b: SceneBuilder):
+    """Procedural texture set exercising the full closesthit.rchit:88-112
+    path at benchmark scale: sRGB albedo, metal-rough (G/B), tangent-space
+    normal maps, and an alpha-cutout banner."""
+    n = 256
+    noise = _value_noise(n, 11)
+    # stone: warm base, mortar-line darkening + noise mottle (sRGB-encoded)
+    y = np.linspace(0, 16, n, endpoint=False)[:, None] % 1.0
+    mortar = (0.75 + 0.25 * np.clip(np.abs(y - 0.5) * 8, 0, 1)
+              ).astype(np.float32)
+    stone_rgb = (np.array([0.62, 0.57, 0.5], np.float32)
+                 * (0.8 + 0.4 * noise)[..., None] * mortar[..., None])
+    stone_tex = b.add_texture(np.clip(stone_rgb, 0, 1))
+    # floor: checker
+    yy, xx = np.mgrid[0:n, 0:n]
+    check = (((xx * 8 // n) + (yy * 8 // n)) % 2).astype(np.float32)
+    floor_rgb = (np.array([0.55, 0.52, 0.5], np.float32) * (0.6 + 0.4 * check)
+                 [..., None] * (0.85 + 0.3 * noise)[..., None])
+    floor_tex = b.add_texture(np.clip(floor_rgb, 0, 1))
+    # metal-rough: roughness in G, metallic in B (closesthit.rchit:97-101)
+    m = 128
+    mr_noise = _value_noise(m, 23)
+    mr = np.zeros((m, m, 4), np.float32)
+    mr[..., 1] = 0.5 + 0.5 * mr_noise
+    mr[..., 3] = 1.0
+    mr_tex = b.add_texture(mr)
+    # normal map from a height field (finite differences, +z up)
+    hgt = _value_noise(m, 37, octaves=5)
+    dx = np.roll(hgt, -1, 1) - np.roll(hgt, 1, 1)
+    dy = np.roll(hgt, -1, 0) - np.roll(hgt, 1, 0)
+    nrm = np.stack([-dx * 2.0, -dy * 2.0, np.ones_like(hgt)], axis=-1)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    normal_tex = b.add_texture(nrm * 0.5 + 0.5)
+    # banner: striped cloth with ragged alpha-cutout bottom (exercises the
+    # stochastic alpha path, raygen.rgen:143-146)
+    stripes = ((yy * 6 // n) % 2).astype(np.float32)
+    banner = np.zeros((n, n, 4), np.float32)
+    banner[..., 0] = 0.45 + 0.3 * stripes
+    banner[..., 1] = 0.08 + 0.25 * stripes
+    banner[..., 2] = 0.08
+    frac_y = yy / n
+    banner[..., 3] = np.where(frac_y + 0.35 * noise > 0.9, 0.0, 1.0)
+    banner_tex = b.add_texture(banner)
+    return stone_tex, floor_tex, mr_tex, normal_tex, banner_tex
+
+
+def sponza_like(target_tris=262_000, seed=0, textured=False):
     """Colonnaded atrium at ~target_tris triangles (BASELINE config 5).
 
     Floor + walls + two rows of columns (subdivided cylinders) + a ceiling
     aperture light + scattered boxes: a closed, multi-bounce-heavy interior
-    in the Crytek Sponza triangle-count class.
+    in the Crytek Sponza triangle-count class. With `textured`, the full
+    texture path runs at benchmark scale: sRGB albedo + metal-rough +
+    normal maps on every surface and hanging alpha-cutout banners
+    (closesthit.rchit:88-112 + raygen.rgen:143-146 workload class).
     """
     rng = np.random.default_rng(seed)
     b = SceneBuilder()
-    stone = b.add_material(MaterialDesc(albedo=(0.55, 0.5, 0.45)))
-    floor_m = b.add_material(MaterialDesc(albedo=(0.4, 0.38, 0.35),
-                                          roughness=0.6))
-    fabric = b.add_material(MaterialDesc(albedo=(0.5, 0.1, 0.1)))
+    if textured:
+        stone_tex, floor_tex, mr_tex, normal_tex, banner_tex = \
+            _sponza_textures(b)
+        stone = b.add_material(MaterialDesc(
+            albedo=(1, 1, 1), albedo_tex=stone_tex, mr_tex=mr_tex,
+            normal_tex=normal_tex))
+        floor_m = b.add_material(MaterialDesc(
+            albedo=(1, 1, 1), roughness=0.6, albedo_tex=floor_tex,
+            normal_tex=normal_tex))
+        fabric = b.add_material(MaterialDesc(
+            albedo=(1, 1, 1), albedo_tex=banner_tex))
+    else:
+        stone = b.add_material(MaterialDesc(albedo=(0.55, 0.5, 0.45)))
+        floor_m = b.add_material(MaterialDesc(albedo=(0.4, 0.38, 0.35),
+                                              roughness=0.6))
+        fabric = b.add_material(MaterialDesc(albedo=(0.5, 0.1, 0.1)))
     light = b.add_material(MaterialDesc(albedo=(1, 1, 1), emission=(12, 12, 12)))
 
-    def add_box(lo, hi, mat, sub=1):
+    def add_box(lo, hi, mat, sub=1, uv_scale=0.25):
         lo = np.asarray(lo, np.float32)
         hi = np.asarray(hi, np.float32)
         # subdivided box faces
@@ -181,6 +257,10 @@ def sponza_like(target_tris=262_000, seed=0):
                 pts[..., a2] = vv
                 pts[..., axis] = hi[axis] if side else lo[axis]
                 verts = pts.reshape(-1, 3)
+                # planar face UVs in world units; tangent along the a1 axis
+                uvs = np.stack([uu, vv], axis=-1).reshape(-1, 2) * uv_scale
+                tang = np.zeros_like(verts)
+                tang[:, a1] = 1.0
                 idx = []
                 for ii in range(sub):
                     for jj in range(sub):
@@ -191,7 +271,8 @@ def sponza_like(target_tris=262_000, seed=0):
                         else:
                             idx += [[k, k + sub + 2, k + 1],
                                     [k, k + sub + 1, k + sub + 2]]
-                b.add_mesh(verts, np.array(idx, np.int64), mat)
+                b.add_mesh(verts, np.array(idx, np.int64), mat,
+                           uvs=uvs, tangents=tang)
 
     def add_cylinder(center, radius, height, mat, segments, stacks):
         cx, cy, cz = center
@@ -199,9 +280,14 @@ def sponza_like(target_tris=262_000, seed=0):
         ys = np.linspace(0, height, stacks + 1)
         ring = np.stack([np.cos(theta), np.sin(theta)], axis=-1) * radius
         verts = []
+        uvs = []
+        tang = []
         for y in ys:
-            for rx, rz in ring:
+            for j, (rx, rz) in enumerate(ring):
                 verts.append([cx + rx, cy + y, cz + rz])
+                uvs.append([2.0 * j / segments, y * 0.25])
+                # tangent = d/dtheta direction
+                tang.append([-ring[j][1] / radius, 0.0, ring[j][0] / radius])
         verts = np.array(verts, np.float32)
         idx = []
         for s in range(stacks):
@@ -211,7 +297,9 @@ def sponza_like(target_tris=262_000, seed=0):
                 c = a + segments
                 dd = bb + segments
                 idx += [[a, bb, dd], [a, dd, c]]
-        b.add_mesh(verts, np.array(idx, np.int64), mat)
+        b.add_mesh(verts, np.array(idx, np.int64), mat,
+                   uvs=np.array(uvs, np.float32),
+                   tangents=np.array(tang, np.float32))
 
     # atrium shell: 24 x 10 x 12
     W, H, D = 24.0, 10.0, 12.0

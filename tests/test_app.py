@@ -1,0 +1,92 @@
+"""App-driver surfaces: multi-model composition, envmap gating, textured
+sponza preset (main.cpp:30-41,150-235 scene-assembly parity)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pathtracer import app as app_mod
+from pathtracer.config import RenderConfig
+from pathtracer.integrator.camera import Camera
+from pathtracer.render import render_frame
+
+
+def _write_tri_obj(path, z):
+    with open(path, "w") as f:
+        f.write("v -1 0 {z}\nv 1 0 {z}\nv 0 1 {z}\nf 1 2 3\n".format(z=z))
+
+
+def test_compose_multiple_models(tmp_path):
+    a = str(tmp_path / "a.obj")
+    b = str(tmp_path / "b.obj")
+    _write_tri_obj(a, 0.0)
+    _write_tri_obj(b, 0.0)
+    # compose with per-model transforms: b translated +2x, scaled 0.5
+    builder = app_mod.load_scene([a, b + "@2,0,0,0.5"])
+    scene = builder.finalize()
+    assert scene.n_tris == 2
+    p = np.asarray(scene.positions)
+    # model a spans x in [-1, 1]; model b in [1.5, 2.5]
+    assert p[:3, 0].min() == -1.0 and p[:3, 0].max() == 1.0
+    assert p[3:, 0].min() == pytest.approx(1.5)
+    assert p[3:, 0].max() == pytest.approx(2.5)
+
+
+def test_compose_rotation(tmp_path):
+    a = str(tmp_path / "a.obj")
+    _write_tri_obj(a, 1.0)   # triangle in the z=1 plane
+    builder = app_mod.load_scene([a + "@0,0,0,1,90"])
+    p = np.asarray(builder.finalize().positions)
+    # 90 deg yaw: x' = z, z' = -x; the z=1 plane maps onto x=1
+    np.testing.assert_allclose(p[:, 0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(p[:, 2], [1.0, -1.0, 0.0], atol=1e-5)
+
+
+def test_preset_cannot_compose(tmp_path):
+    a = str(tmp_path / "a.obj")
+    _write_tri_obj(a, 0.0)
+    with pytest.raises(SystemExit):
+        app_mod.load_scene(["cornell", a])
+
+
+def test_sky_envmap_requires_envmap_flag(tmp_path):
+    with pytest.raises(SystemExit):
+        app_mod.main(["--scene", "cornell", "--sky", "envmap",
+                      "--width", "8", "--height", "8", "--frames", "1",
+                      "--out", str(tmp_path / "x.png"), "--quiet"])
+
+
+def test_envmap_cli_render(tmp_path):
+    """--sky envmap + --envmap renders with the file's radiance."""
+    from pathtracer.scene.hdr import write_hdr
+
+    env = np.zeros((4, 8, 3), np.float32)
+    env[:2] = [0.0, 0.0, 4.0]     # upper hemisphere: blue
+    hdr = str(tmp_path / "env.hdr")
+    write_hdr(hdr, env)
+    out = str(tmp_path / "e.png")
+    rc = app_mod.main(["--scene", "bunny", "--sky", "envmap",
+                       "--envmap", hdr, "--width", "16", "--height", "16",
+                       "--spp", "1", "--max-depth", "2", "--frames", "1",
+                       "--intersector", "brute", "--out", out, "--quiet"])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_textured_sponza_smoke():
+    """Tiny render of the textured preset: textures + alpha path execute."""
+    from pathtracer.scene.procedural import sponza_like
+
+    scene = sponza_like(target_tris=2000, textured=True).finalize()
+    assert scene.has_textures
+    assert scene.textures.dtype.name == "uint8"
+    cfg = RenderConfig(width=16, height=16, spp=1, max_depth=3,
+                       intersector="cluster")
+    from pathtracer.accel.cluster import build_scene_clusters
+
+    scene = build_scene_clusters(scene)
+    cam = Camera(position=(3.0, 4.5, 6.0))
+    cam.look_at((14.0, 3.0, 6.0))
+    img = np.asarray(render_frame(scene, cfg, cam.state(), 0))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
