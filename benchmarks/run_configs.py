@@ -42,9 +42,23 @@ def build_configs(scale: float):
         tid = b.add_texture(tex)
         b.materials[1] = MaterialDesc(albedo=(1, 1, 1), albedo_tex=tid,
                                       roughness=0.4)
-        env = np.ones((64, 128, 3), np.float32) * 0.1
-        env[10:14, 30:38] = 50.0  # sun disc
-        b.set_envmap(env)
+        # a real Radiance .hdr file on disk feeds the env light (BASELINE
+        # config 4 = "HDR env-map"): gradient sky + hot sun disc, written
+        # and re-read through the RGBE codec (pathtracer/scene/hdr.py)
+        from pathtracer.scene.hdr import read_hdr, write_hdr
+
+        eh, ew = 512, 1024
+        theta = np.linspace(0, np.pi, eh)[:, None]
+        env = np.zeros((eh, ew, 3), np.float32)
+        horizon = np.clip(np.sin(theta), 0, 1) ** 3
+        env[..., 0] = 0.25 + 0.5 * horizon
+        env[..., 1] = 0.35 + 0.45 * horizon
+        env[..., 2] = 0.6 + 0.25 * horizon
+        env[60:76, 220:236] = 800.0  # sun disc
+        hdr_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "bench_env.hdr")
+        write_hdr(hdr_path, env)
+        b.set_envmap(read_hdr(hdr_path))
         return b.finalize()
 
     return [

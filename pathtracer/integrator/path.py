@@ -374,7 +374,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     # the O(T) pack across bounces); see pack_surface_rows.
     surf_rows = pack_surface_rows(scene)
 
-    def segment(carry, depth):
+    def segment(carry, depth, primary=False):
         """Trace + emission collection shared by every bounce (incl. last)."""
         o, d, throughput, radiance, active, prev_pdf, pix, samp, \
             rays_traced = carry
@@ -401,7 +401,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         # (wavefront compaction without dynamic shapes).
         o_eff = jnp.where(active[..., None], o, 1e30)
         d_eff = jnp.where(active[..., None], d, 1.0)   # one shared octant
-        hit = intersect_fn(o_eff, d_eff, cfg.t_min, cfg.t_max)
+        hit = intersect_fn(o_eff, d_eff, cfg.t_min, cfg.t_max,
+                           primary=primary)
         hit_ok = hit.valid & active
 
         # --- miss: environment (miss.rmiss; payload.done) ---
@@ -440,13 +441,15 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                  rays_traced)
         return carry, surf
 
-    def bounce(depth, carry):
+    def bounce(depth, carry, primary=False):
         """One full bounce: segment + NEE + BSDF continuation.
 
         Compiled ONCE as a lax.fori_loop body (not unrolled per depth - the
         depth index is traced; per-bounce RNG keys take it as a counter).
+        Bounce 0 is peeled out of the fori_loop (render_paths below) so
+        the primary trace can skip the coherence sort.
         """
-        carry, surf = segment(carry, depth)
+        carry, surf = segment(carry, depth, primary)
         o, d, throughput, radiance, active, prev_pdf, pix, samp, \
             rays_traced = carry
         view = -d
@@ -570,12 +573,17 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         jnp.sum(ref) * 0.0,                         # rays_traced
     )
     if cfg.max_depth > 1:
-        # fori (not while-any(active)): an early-exit while was measured 2x
-        # SLOWER end-to-end - the all-lanes cond reduction serializes the
-        # bounce pipeline, while compacted dead lanes already make late
-        # bounces cheap (chunk-skip + empty-tile termination).
-        carry = jax.lax.fori_loop(0, cfg.max_depth - 1, bounce, carry)
+        # Bounce 0 peeled: primary rays keep their swizzled screen order
+        # (no coherence sort). Then fori (not while-any(active)): an
+        # early-exit while was measured 2x SLOWER end-to-end - the
+        # all-lanes cond reduction serializes the bounce pipeline, while
+        # compacted dead lanes already make late bounces cheap
+        # (chunk-skip + empty-tile termination).
+        carry = bounce(0, carry, primary=True)
+        if cfg.max_depth > 2:
+            carry = jax.lax.fori_loop(1, cfg.max_depth - 1, bounce, carry)
     # last segment only collects emission (raygen.rgen:128 loop tail)
-    carry, _ = segment(carry, cfg.max_depth - 1)
+    carry, _ = segment(carry, cfg.max_depth - 1,
+                       primary=(cfg.max_depth == 1))
     _, _, _, radiance, _, _, pix_out, _, rays_traced = carry
     return radiance, pix_out, rays_traced

@@ -68,22 +68,43 @@ def _like(ref, value, dtype):
     return (ref * 0).astype(dtype) + jnp.asarray(value, dtype)
 
 
-def _coherence_order(accel: ClusterAccel, o, d):
-    """Sort permutation grouping rays by direction octant + origin Morton.
+def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
+    """Sort permutation grouping rays by direction bin + origin Morton.
 
     Chunk-local argsort of u32 keys; all downstream permutes gather from
     chunk-sized (small) tables. Returns (order, inv_order).
+
+    dir_bits = per-axis direction quantization bits: 1 = sign octant
+    (8 bins, round-1 scheme), 2 = 64 bins (production default: bounce
+    traversal 3015 -> 2015 ms at 1080p/262k), 3 = 512 bins (overshoots -
+    origin locality lost). Swept on hardware (benchmarks/bounce_sweep.py,
+    docs/PERF.md round-2 log). Parked/dead lanes (origin >= 1e29) sort
+    strictly last so they fill whole tiles (and whole chunks, which then
+    skip via the chunk_live lax.cond).
     """
+    import os
+
     from pathtracer.accel import morton as morton_mod
 
+    if dir_bits is None:
+        dir_bits = int(os.environ.get("PT_DIR_BITS", "2"))
     finite = accel.aabb_lo[:, 0] < 1e29           # skip pad clusters
     lo = jnp.min(jnp.where(finite[:, None], accel.aabb_lo, jnp.inf), axis=0)
     hi = jnp.max(jnp.where(finite[:, None], accel.aabb_hi, -jnp.inf), axis=0)
-    octant = ((d[:, 0] > 0).astype(jnp.uint32)
-              + 2 * (d[:, 1] > 0).astype(jnp.uint32)
-              + 4 * (d[:, 2] > 0).astype(jnp.uint32))
+    if dir_bits <= 1:
+        dbin = ((d[:, 0] > 0).astype(jnp.uint32)
+                + 2 * (d[:, 1] > 0).astype(jnp.uint32)
+                + 4 * (d[:, 2] > 0).astype(jnp.uint32))
+    else:
+        levels = jnp.float32((1 << dir_bits) - 1e-3)
+        q = jnp.clip((d * 0.5 + 0.5) * levels, 0,
+                     (1 << dir_bits) - 1).astype(jnp.uint32)
+        dbin = ((q[:, 0] << jnp.uint32(2 * dir_bits))
+                | (q[:, 1] << jnp.uint32(dir_bits)) | q[:, 2])
+    db = 3 * dir_bits
     m = morton_mod.morton_codes(o, lo=lo, hi=hi)  # 30-bit
-    key = (octant << jnp.uint32(24)) | (m >> jnp.uint32(6))
+    key = (dbin << jnp.uint32(32 - db)) | (m >> jnp.uint32(db - 2))
+    key = jnp.where(o[:, 0] >= 1e29, jnp.uint32(0xFFFFFFFF), key)
     order = jnp.argsort(key).astype(jnp.int32)
     inv = jnp.argsort(order).astype(jnp.int32)
     return order, inv

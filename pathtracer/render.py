@@ -35,7 +35,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
     use_brute = (cfg.intersector == "brute"
                  or (cfg.intersector == "cluster" and scene.n_tris <= 256))
     if use_brute:
-        def intersect_fn(o, d, t_min, t_max):
+        def intersect_fn(o, d, t_min, t_max, primary=False):
             return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
 
         def occluded_fn(o, d, t_max):
@@ -57,10 +57,15 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         # per-chunk sorts entirely.
         sort_rays = (not cfg.wavefront_sort) and cfg.packet_sort
 
-        def intersect_fn(o, d, t_min, t_max):
+        def intersect_fn(o, d, t_min, t_max, primary=False):
+            # Primary rays arrive in swizzled 8x8 pixel-block order, which
+            # is already tighter than the coherence sort's bins: sorting
+            # them measured 585 vs 534 ms unsorted at 1080p/262k
+            # (benchmarks: primary A/B, docs/PERF.md round-2 log).
             return packet.intersect_clusters(accel, o, d, t_min, t_max,
                                              backend=backend,
-                                             sort_rays=sort_rays)
+                                             sort_rays=sort_rays
+                                             and not primary)
 
         def occluded_fn(o, d, t_max):
             return packet.occluded_clusters(accel, o, d, t_max,
@@ -74,7 +79,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         # Packed once per frame; XLA CSEs the O(n) pack across all bounces.
         packed = traverse.pack_bvh(scene.bvh, scene.indices, scene.positions)
 
-        def intersect_fn(o, d, t_min, t_max):
+        def intersect_fn(o, d, t_min, t_max, primary=False):
             return traverse.intersect_packed(packed, o, d, t_min, t_max)
 
         def occluded_fn(o, d, t_max):

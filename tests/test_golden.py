@@ -20,6 +20,26 @@ from pathtracer.render import render_frame
 from pathtracer.scene.procedural import cornell_box
 
 _GOLDEN = os.path.join(os.path.dirname(__file__), "golden_cornell_64.npy")
+_GOLDEN_256 = os.path.join(os.path.dirname(__file__),
+                           "golden_cornell_256.npy")
+
+
+def test_cornell_256_matches_golden():
+    """BASELINE config 1 exactly: Cornell box, 256x256 @ 4 spp.
+
+    Single frame (frame 0) of the default estimator at full config-1
+    scale; the counter-based RNG keys on (pixel, sample, frame), so the
+    render is deterministic and the committed golden pins the whole
+    integrator (camera rays, traversal, NEE+MIS, BSDF, RR) at depth 6.
+    """
+    scene = build_scene_clusters(cornell_box().finalize())
+    cfg = RenderConfig(width=256, height=256, spp=4, max_depth=6)
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    img = np.asarray(render_frame(scene, cfg, cam.state(), 0))
+    golden = np.load(_GOLDEN_256)
+    err = rmse(img, golden)
+    assert err <= 1e-4, f"render drifted from golden: RMSE {err:.2e}"
 
 
 def test_cornell_matches_golden():
