@@ -54,21 +54,32 @@ def main():
 
     result = bench_scene(scene, cfg, cam, warmup=4, frames=frames)
 
+    detail = {
+        "ms_per_frame": round(result.ms_per_frame, 3),
+        "rays_per_frame": result.rays_per_frame,
+        "tris": tris,
+        "textured": textured,
+        "resolution": [width, height],
+        "spp": cfg.spp,
+        "max_depth": cfg.max_depth,
+    }
+    if textured and os.environ.get("BENCH_UNTEXTURED_REF", "1") != "0":
+        # companion number on the round-1 (untextured) workload so the
+        # textured-headline switch stays comparable across rounds
+        plain = sponza_like(target_tris=tris, textured=False).finalize()
+        plain = build_scene_clusters(plain)
+        ref = bench_scene(plain, cfg, cam, warmup=3,
+                          frames=max(2, frames // 2))
+        detail["untextured_mrays_per_sec"] = round(ref.mrays_per_sec, 3)
+        detail["untextured_ms_per_frame"] = round(ref.ms_per_frame, 3)
+
     baseline = 300.0  # Mrays/s/chip north-star (BASELINE.json)
     print(json.dumps({
         "metric": "sponza_1080p_mrays_per_sec_per_chip",
         "value": round(result.mrays_per_sec, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(result.mrays_per_sec / baseline, 4),
-        "detail": {
-            "ms_per_frame": round(result.ms_per_frame, 3),
-            "rays_per_frame": result.rays_per_frame,
-            "tris": tris,
-            "textured": textured,
-            "resolution": [width, height],
-            "spp": cfg.spp,
-            "max_depth": cfg.max_depth,
-        },
+        "detail": detail,
     }))
     return 0
 

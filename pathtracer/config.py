@@ -96,6 +96,15 @@ class RenderConfig:
     # Ignored when wavefront_sort already ordered the rays.
     packet_sort: bool = True
 
+    # Stochastic bilinear texture filtering: jitter the texel coordinate
+    # by a per-(lane, bounce) uniform and take ONE tap whose expectation
+    # is the bilinear kernel, instead of 4 deterministic taps. Texture
+    # gathers are latency-bound (~20+ ms per 2M-lane tap on v5e), so this
+    # cuts the texture path cost ~4x; the extra noise converges with spp.
+    # False = exact 4-tap bilinear (the reference's deterministic linear
+    # sampler, core/texture.cpp:57-66).
+    stochastic_texture_filtering: bool = True
+
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
             raise ValueError("resolution must be positive")

@@ -58,7 +58,7 @@ class Surface(NamedTuple):
     light_pdf_area: jnp.ndarray  # [N] p_select/area if emissive else 0
 
 
-def _sample_texture(textures, tex_wh, tex_id, u, v):
+def _sample_texture(textures, tex_wh, tex_id, u, v, tex_u=None):
     """Bilinear, repeat-wrap texture fetch from the u8 stack.
 
     textures: u8[K, TH, TW, 4] stored at TRUE per-texture dims (top-left,
@@ -67,6 +67,14 @@ def _sample_texture(textures, tex_wh, tex_id, u, v):
     f32[N]. Matches the reference's linear-filter repeat sampler
     (texture.cpp:57-66); u8 -> f32 decode happens AFTER the gather so the
     gather moves 4 bytes/texel instead of 16.
+
+    tex_u = (ux, uy) uniforms enables STOCHASTIC bilinear: jitter the
+    texel coordinate by the uniform and take ONE nearest tap -
+    P(pick x0+1) = frac(x), so the expectation over the RNG is exactly
+    the bilinear kernel. Texture gathers are latency-bound at ~20+ ms
+    per 2M-lane tap on v5e (docs/PERF.md round-2 log), so 1 tap vs 4
+    is the difference between textures costing 25% and 100%+ of a
+    frame; the noise converges with spp like every other MC estimator.
     """
     tid = jnp.maximum(tex_id, 0)
     wh = tex_wh[tid]                                  # [N, 2]
@@ -74,6 +82,16 @@ def _sample_texture(textures, tex_wh, tex_id, u, v):
     thi = wh[:, 1]
     x = u * twi.astype(jnp.float32) - 0.5
     y = v * thi.astype(jnp.float32) - 0.5
+
+    def texel(yy, xx):
+        return textures[tid, yy, xx].astype(jnp.float32) * (1.0 / 255.0)
+
+    if tex_u is not None:
+        ux, uy = tex_u
+        xi = jnp.mod(jnp.floor(x + ux).astype(jnp.int32), twi)
+        yi = jnp.mod(jnp.floor(y + uy).astype(jnp.int32), thi)
+        return texel(yi, xi)
+
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
@@ -82,9 +100,6 @@ def _sample_texture(textures, tex_wh, tex_id, u, v):
     y0i = jnp.mod(y0.astype(jnp.int32), thi)
     x1i = jnp.mod(x0i + 1, twi)
     y1i = jnp.mod(y0i + 1, thi)
-
-    def texel(yy, xx):
-        return textures[tid, yy, xx].astype(jnp.float32) * (1.0 / 255.0)
 
     a = texel(y0i, x0i) * (1 - fx) + texel(y0i, x1i) * fx
     b = texel(y1i, x0i) * (1 - fx) + texel(y1i, x1i) * fx
@@ -127,7 +142,7 @@ def pack_surface_rows(scene: Scene) -> jnp.ndarray:
 
 
 def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
-                  quirks: bool) -> Surface:
+                  quirks: bool, tex_u=None) -> Surface:
     """Closest-hit stage: attribute fetch + interpolation.
 
     Re-derivation of closesthit.rchit:68-125 as ONE wide row-gather (see
@@ -167,14 +182,16 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         # Albedo: sRGB-encoded texture REPLACES the factor and linearizes
         # with pow 2.2; alpha multiplies (closesthit.rchit:88-92).
         at = scene.mat_albedo_tex[mid]
-        tex = _sample_texture(scene.textures, scene.tex_wh, at, u, v)
+        tex = _sample_texture(scene.textures, scene.tex_wh, at, u, v,
+                              tex_u)
         has_at = (at >= 0)
         albedo = jnp.where(has_at[..., None],
                            jnp.maximum(tex[..., :3], 0.0) ** 2.2, albedo)
         alpha = jnp.where(has_at, alpha * tex[..., 3], alpha)
         # Metal-rough from G/B channels, multiplied (closesthit.rchit:97-101).
         mrt = scene.mat_mr_tex[mid]
-        mr = _sample_texture(scene.textures, scene.tex_wh, mrt, u, v)
+        mr = _sample_texture(scene.textures, scene.tex_wh, mrt, u, v,
+                             tex_u)
         has_mr = (mrt >= 0)
         roughness = jnp.where(has_mr, roughness * mr[..., 1], roughness)
         metallic = jnp.where(has_mr, metallic * mr[..., 2], metallic)
@@ -185,7 +202,8 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         t1 = row[:, 23:26]
         t2 = row[:, 26:29]
         tangent = vmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
-        nm = _sample_texture(scene.textures, scene.tex_wh, nt, u, v)[..., :3] * 2.0 - 1.0
+        nm = _sample_texture(scene.textures, scene.tex_wh, nt, u, v,
+                             tex_u)[..., :3] * 2.0 - 1.0
         t_ortho = vmath.normalize(tangent - normal * vmath.dotk(normal, tangent))
         b = vmath.cross(normal, t_ortho)
         mapped = vmath.normalize(
@@ -420,8 +438,15 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             missed[..., None], throughput * sky_rad, 0.0)
         active = hit_ok
 
+        if scene.has_textures and cfg.stochastic_texture_filtering:
+            # one shared jitter pair per (lane, bounce): each of the three
+            # texture taps is an unbiased 1-tap bilinear estimate
+            tex_u = rng.uniform2(pix, samp, depth, rng.SALT_TEX_FILTER,
+                                 cfg.seed)
+        else:
+            tex_u = None
         surf = fetch_surface(scene, surf_rows, hit, o, d,
-                             cfg.reference_quirks)
+                             cfg.reference_quirks, tex_u)
 
         # --- emitter hit (raygen.rgen:132) ---
         if cfg.reference_quirks:

@@ -37,6 +37,7 @@ SALT_BSDF_UV = 6       # BSDF direction sample            raygen.rgen:269
 SALT_RR = 7            # Russian roulette                 raygen.rgen:288
 SALT_ENV_SELECT = 8    # envmap NEE texel pick (net-new)
 SALT_ENV_UV = 9        # envmap NEE in-texel jitter (net-new)
+SALT_TEX_FILTER = 10   # stochastic bilinear texel jitter (net-new)
 _SALTS_PER_DEPTH = 12
 
 _U32 = jnp.uint32

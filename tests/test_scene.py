@@ -109,3 +109,36 @@ def test_sponza_like_tri_count():
     s = procedural.sponza_like(target_tris=50_000).finalize()
     assert 35_000 < s.n_tris < 80_000
     assert s.has_lights
+
+
+def test_stochastic_texture_filter_matches_bilinear_in_expectation():
+    """1-tap jittered sampling must average to the 4-tap bilinear value.
+
+    P(pick x0+1) = frac(x) by construction (path._sample_texture with
+    tex_u), so the mean over many uniforms converges to the bilinear
+    kernel - the unbiasedness contract that lets the renderer default to
+    stochastic_texture_filtering=True.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer.integrator.path import _sample_texture
+
+    rng = np.random.default_rng(3)
+    tex = rng.random((1, 8, 8, 4)).astype(np.float32)
+    tex_u8 = jnp.asarray((tex * 255).round().astype(np.uint8))
+    wh = jnp.array([[8, 8]], jnp.int32)
+    n = 16
+    tid = jnp.zeros((n,), jnp.int32)
+    u = jnp.asarray(rng.random(n, dtype=np.float32))
+    v = jnp.asarray(rng.random(n, dtype=np.float32))
+
+    exact = _sample_texture(tex_u8, wh, tid, u, v)
+    m = 4000
+    acc = np.zeros((n, 4), np.float32)
+    for i in range(m):
+        ux = jnp.asarray(rng.random(n, dtype=np.float32))
+        uy = jnp.asarray(rng.random(n, dtype=np.float32))
+        acc += np.asarray(_sample_texture(tex_u8, wh, tid, u, v, (ux, uy)))
+    err = np.abs(acc / m - np.asarray(exact)).max()
+    assert err < 0.02, f"stochastic filter biased: max err {err:.4f}"
