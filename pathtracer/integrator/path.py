@@ -238,7 +238,8 @@ def _power_heuristic(pdf_a, pdf_b):
 
 
 def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
-             pixel, sample, depth, occluded_fn, shade=None):
+             pixel, sample, depth, occluded_fn, shade=None,
+             primary=False):
     """Environment-map NEE with MIS (net-new; BASELINE config 4).
 
     One shadow ray toward a luminance-importance-sampled env direction.
@@ -272,7 +273,7 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
 
 
 def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
-         pixel, sample, depth, occluded_fn, shade=None):
+         pixel, sample, depth, occluded_fn, shade=None, primary=False):
     """Next-event estimation (raygen.rgen:168-261). Returns contrib/T [N,3].
 
     view = unit vector from surface toward the previous vertex (-ray dir).
@@ -327,7 +328,7 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
     valid = geo_ok if shade is None else (geo_ok & shade)
     s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead lanes
     s_dir = jnp.where(valid[..., None], s_dir, 1.0)
-    blocked = occluded_fn(s_orig, s_dir, s_tmax)
+    blocked = occluded_fn(s_orig, s_dir, s_tmax, primary=primary)
 
     f = mf.eval_brdf(surf.normal, view, l_dir, surf.albedo, surf.metallic,
                      surf.roughness)
@@ -504,13 +505,13 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         shade = active & ~passthrough & ~is_dielectric
         if scene.has_lights:
             nee = _nee(scene, cfg, surf, view, pix, samp, depth,
-                       occluded_fn, shade)
+                       occluded_fn, shade, primary)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * nee, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
         if env_nee:
             env_c = _nee_env(scene, cfg, surf, view, pix, samp,
-                             depth, occluded_fn, shade)
+                             depth, occluded_fn, shade, primary)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * env_c, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))

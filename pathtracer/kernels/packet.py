@@ -38,6 +38,8 @@ see docs/PERF.md "TPU numerics traps").
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -52,7 +54,12 @@ def _pallas_interpret():
     return jax.devices()[0].platform not in ("tpu", "axon")
 
 TILE_RAYS = 64           # rays per tile (packet width; sweep optimum)
-CHUNK_TILES = 512        # tiles per chunked launch (32768 rays)
+# Tiles per chunked launch: the chunk is both the coherence-sort POOL
+# (bigger = tighter tiles on live rays) and the dead-lane SKIP GRANULE
+# (smaller = mostly-dead deep-bounce chunks skip cull+schedule+sweep via
+# chunk_live). Swept end-to-end on real frames (benchmarks/frame_ab.py):
+# the micro-optimum 2048 on fully-live batches LOSES on full frames.
+CHUNK_TILES = int(os.environ.get("PT_CHUNK_TILES", "512"))
 CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
 CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 
@@ -75,12 +82,14 @@ def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
     chunk-sized (small) tables. Returns (order, inv_order).
 
     dir_bits = per-axis direction quantization bits: 1 = sign octant
-    (8 bins, round-1 scheme), 2 = 64 bins (production default: bounce
-    traversal 3015 -> 2015 ms at 1080p/262k), 3 = 512 bins (overshoots -
-    origin locality lost). Swept on hardware (benchmarks/bounce_sweep.py,
-    docs/PERF.md round-2 log). Parked/dead lanes (origin >= 1e29) sort
-    strictly last so they fill whole tiles (and whole chunks, which then
-    skip via the chunk_live lax.cond).
+    (8 bins, round-1 scheme), 2 = 64 bins, 3 = 512 bins. Swept per call
+    type at the 131072-ray chunk (benchmarks/bounce_sweep.py +
+    chunk_sweep.py, docs/PERF.md round-2 log): closest-hit bounce rays
+    want 3 (1618 ms vs 1726 at 2 bits), occlusion rays want 2 (624 vs
+    751 at 3) - shadow rays all aim at the lights, so direction carries
+    less entropy than origin. 4 bits overshoots everywhere. Parked/dead
+    lanes (origin >= 1e29) sort strictly last so they fill whole tiles
+    (and whole chunks, which then skip via the chunk_live lax.cond).
     """
     import os
 
@@ -322,7 +331,7 @@ def _unsort_hit(t, tri, u, v, n, inv):
 
 
 def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
-                     tile_rays, cpi, cull, backend="xla"):
+                     tile_rays, cpi, cull, backend="xla", dir_bits=None):
     def run(rays):
         # Static-shape stream compaction, chunk level: when the integrator
         # compacts dead lanes to the wavefront tail (path.py wavefront_sort),
@@ -342,7 +351,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
         ref = o_in[..., 0] + d_in[..., 0]
 
         if sort_rays:
-            order, inv = _coherence_order(accel, o_in, d_in)
+            order, inv = _coherence_order(accel, o_in, d_in, dir_bits)
             o = o_in[order]
             d = d_in[order]
         else:
@@ -411,7 +420,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
 
 
 def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
-                    backend="xla"):
+                    backend="xla", dir_bits=None):
     def run(rays):
         def dead(rays):
             return (rays[0][:, 0] + rays[1][:, 0]) * 0.0 > 1.0
@@ -425,7 +434,7 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
         ref = o_in[..., 0] + d_in[..., 0]
 
         if sort_rays:
-            order, inv = _coherence_order(accel, o_in, d_in)
+            order, inv = _coherence_order(accel, o_in, d_in, dir_bits)
             odt = jnp.concatenate(
                 [o_in, d_in, tmax_in[:, None]], axis=1)[order]
             o = odt[:, 0:3]
@@ -532,26 +541,33 @@ def _chunk_map(fn, rays, n, tile_rays, chunk_rays):
 def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
                        sort_rays: bool = True, tile_rays: int = None,
                        cpi: int = None, chunk_rays: int = None,
-                       cull: str = "ray", backend: str = "xla") -> Hit:
+                       cull: str = "ray", backend: str = "xla",
+                       dir_bits: int = None) -> Hit:
     """Closest hit of rays o/d [N,3] via packet traversal."""
+    if dir_bits is None:
+        dir_bits = int(os.environ.get("PT_CLOSEST_DB", "2"))
     tile_rays = tile_rays or TILE_RAYS
     cpi = cpi or CLUSTERS_PER_ITER
     chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
     return _chunk_map(
         _intersect_chunk(accel, t_min, t_max, sort_rays, tile_rays, cpi,
-                         cull, backend),
+                         cull, backend, dir_bits),
         (o, d), o.shape[0], tile_rays, chunk_rays)
 
 
 def occluded_clusters(accel: ClusterAccel, o, d, t_max,
                       sort_rays: bool = True, tile_rays: int = None,
                       cpi: int = None, chunk_rays: int = None,
-                      cull: str = "ray", backend: str = "xla"):
+                      cull: str = "ray", backend: str = "xla",
+                      dir_bits: int = None):
     """Any-hit (front-facing) visibility via packet traversal."""
+    if dir_bits is None:
+        dir_bits = int(os.environ.get("PT_OCCL_DB", "2"))
     tile_rays = tile_rays or TILE_RAYS
     cpi = cpi or CLUSTERS_PER_ITER
     chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
     return _chunk_map(
-        _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend),
+        _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend,
+                        dir_bits),
         (o, d, t_max), o.shape[0], tile_rays, chunk_rays)

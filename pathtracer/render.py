@@ -38,7 +38,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
 
-        def occluded_fn(o, d, t_max):
+        def occluded_fn(o, d, t_max, primary=False):
             return isect.occluded_brute(o, d, t_max, v0, v1, v2)
     elif cfg.intersector == "cluster":
         if scene.clusters is None:
@@ -67,10 +67,17 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                                              sort_rays=sort_rays
                                              and not primary)
 
-        def occluded_fn(o, d, t_max):
+        def occluded_fn(o, d, t_max, primary=False):
+            # Bounce 0's shadow batch is fully live, so the dead-chunk
+            # skip granule doesn't matter and the big sort pool wins
+            # (occl 624 ms at 131k-ray chunks vs 763 at 32k; frame_ab +
+            # chunk_sweep, docs/PERF.md round-2 log). Deeper bounces keep
+            # the default chunk for fine-grained dead skipping.
+            chunk = 131072 if primary else None
             return packet.occluded_clusters(accel, o, d, t_max,
                                             backend=backend,
-                                            sort_rays=sort_rays)
+                                            sort_rays=sort_rays,
+                                            chunk_rays=chunk)
     else:
         if scene.bvh is None:
             raise ValueError(
@@ -82,7 +89,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return traverse.intersect_packed(packed, o, d, t_min, t_max)
 
-        def occluded_fn(o, d, t_max):
+        def occluded_fn(o, d, t_max, primary=False):
             return traverse.occluded_packed(packed, o, d, t_max)
 
     return intersect_fn, occluded_fn
