@@ -49,6 +49,7 @@ def main():
     tris = int(os.environ.get("BENCH_TRIS", 262_000))
     cs = [int(x) for x in os.environ.get(
         "CLUSTERS", "512,1024,2048,4096").split(",")]
+    method = os.environ.get("METHOD", "morton")
     n = w * h
 
     scene = sponza_like(target_tris=tris).finalize()
@@ -84,7 +85,7 @@ def main():
     tmax = jnp.full((n,), 4.0, jnp.float32)
 
     for mc in cs:
-        accel = build_clusters(v0, v1, v2, mc)
+        accel = build_clusters(v0, v1, v2, mc, method=method)
         c, k = accel.n_clusters, accel.tris_per_cluster
         f_p = jax.jit(lambda o, d, a=accel: packet.intersect_clusters(
             a, o, d, 1e-3, 1e20, backend="pallas").t)
@@ -95,7 +96,7 @@ def main():
         tp = timed(f_p, o0, d0)
         tb = timed(f_b, o1, d1)
         to = timed(f_o, o1, d1, tmax)
-        print(f"C={c:5d} K={k:4d}: primary {tp*1e3:7.1f} ms "
+        print(f"{method} C={c:5d} K={k:4d}: primary {tp*1e3:7.1f} ms "
               f"({n/tp/1e6:5.2f} Mr/s)  bounce {tb*1e3:7.1f} ms "
               f"({n/tb/1e6:5.2f})  occl {to*1e3:7.1f} ms ({n/to/1e6:5.2f})",
               flush=True)

@@ -15,6 +15,7 @@
 // Python caller falls back to PIL / numpy.
 
 #include <cstdint>
+#include <cmath>
 #include <cstring>
 #include <vector>
 
@@ -341,6 +342,75 @@ int pt_accessor_to_i32(const uint8_t* buf, int64_t buf_n, int64_t offset,
       default: { std::memcpy(&v, q, 4); break; }
     }
     out[i] = int32_t(v);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------
+// Radiance RGBE (.hdr) scanline decode: fills the stb_image role for HDR
+// environment maps (reference decodes textures via stb_image,
+// pathtracer/source/core/texture.cpp:5-13; stb also handles .hdr).
+// `data` points at the first scanline (caller parses the text header),
+// output is linear f32 RGB [h*w*3]. Handles new-RLE scanlines
+// (0x02 0x02 hi lo + 4 run-length-coded planes) and flat RGBE with
+// old-style (1,1,1,n) repeats. Returns 0 on success.
+int pt_hdr_decode(const uint8_t* data, int64_t n, int32_t w, int32_t h,
+                  float* out) {
+  if (w <= 0 || h <= 0) return 1;
+  std::vector<uint8_t> row(size_t(w) * 4);
+  int64_t pos = 0;
+  for (int32_t y = 0; y < h; ++y) {
+    if (w >= 8 && w <= 0x7FFF && pos + 4 <= n && data[pos] == 2 &&
+        data[pos + 1] == 2 &&
+        ((int32_t(data[pos + 2]) << 8) | data[pos + 3]) == w) {
+      pos += 4;  // new-RLE scanline: four component planes
+      for (int c = 0; c < 4; ++c) {
+        int32_t x = 0;
+        while (x < w) {
+          if (pos >= n) return 2;
+          int count = data[pos++];
+          if (count > 128) {  // run
+            count -= 128;
+            if (pos >= n || x + count > w) return 2;
+            uint8_t v = data[pos++];
+            for (int i = 0; i < count; ++i) row[size_t(x + i) * 4 + c] = v;
+          } else {            // literals
+            if (pos + count > n || x + count > w) return 2;
+            for (int i = 0; i < count; ++i)
+              row[size_t(x + i) * 4 + c] = data[pos++];
+          }
+          x += count;
+        }
+      }
+    } else {  // flat RGBE with old-style repeats
+      int32_t x = 0;
+      int shift = 0;
+      while (x < w) {
+        if (pos + 4 > n) return 2;
+        const uint8_t* px = data + pos;
+        pos += 4;
+        if (px[0] == 1 && px[1] == 1 && px[2] == 1) {
+          int64_t count = int64_t(px[3]) << shift;
+          if (x == 0 || x + count > w) return 2;
+          for (int64_t i = 0; i < count; ++i)
+            std::memcpy(&row[size_t(x + i) * 4], &row[size_t(x - 1) * 4], 4);
+          x += int32_t(count);
+          shift += 8;
+        } else {
+          std::memcpy(&row[size_t(x) * 4], px, 4);
+          ++x;
+          shift = 0;
+        }
+      }
+    }
+    float* o = out + size_t(y) * w * 3;
+    for (int32_t x = 0; x < w; ++x) {
+      int e = row[size_t(x) * 4 + 3];
+      float scale = e == 0 ? 0.0f : std::ldexp(1.0f, e - 136);
+      o[x * 3 + 0] = row[size_t(x) * 4 + 0] * scale;
+      o[x * 3 + 1] = row[size_t(x) * 4 + 1] * scale;
+      o[x * 3 + 2] = row[size_t(x) * 4 + 2] * scale;
+    }
   }
   return 0;
 }

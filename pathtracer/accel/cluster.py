@@ -74,16 +74,87 @@ class ClusterAccel:
         return self.blocks.shape[1]
 
 
+def _median_order(centroids, n_segments: int):
+    """Recursive median-split (k-d) ordering over equal-size segments.
+
+    log2(n_segments) rounds; each round measures every segment's centroid
+    extent, picks its longest axis, and sorts the segment's contents along
+    it (one two-key lax.sort per round: segment id, then coordinate).
+    Consecutive K-blocks of the result are median-split clusters - much
+    tighter AABBs than fixed Morton chunks because every split is a true
+    object-median along the locally-longest axis. Pad centroids (1e30)
+    sort to segment tails and end up in the final clusters.
+    """
+    n = centroids.shape[0]            # n % n_segments == 0; both pow2
+    levels = n_segments.bit_length() - 1
+    order = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    for lvl in range(levels):
+        nseg = 1 << lvl
+        s = n // nseg
+        c = centroids[order]
+        valid = (c[:, 0] < 1e29)[:, None]
+        cs = c.reshape(nseg, s, 3)
+        vs = valid.reshape(nseg, s, 1)
+        lo = jnp.min(jnp.where(vs, cs, jnp.inf), axis=1)
+        hi = jnp.max(jnp.where(vs, cs, -jnp.inf), axis=1)
+        ext = jnp.nan_to_num(hi - lo, neginf=0.0, posinf=0.0)
+        axis = jnp.argmax(ext, axis=1)                       # [nseg]
+        ax_per = jnp.repeat(axis, s)
+        coord = jnp.take_along_axis(c, ax_per[:, None], axis=1)[:, 0]
+        coord = jnp.where(valid[:, 0], coord, jnp.inf)
+        seg = pos // s
+        _, _, order = jax.lax.sort((seg, coord, order), num_keys=2)
+    return order
+
+
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
 def build_clusters(v0, v1, v2, max_clusters: int = 512,
-                   min_k: int = 128) -> ClusterAccel:
-    """Build the cluster accel over triangles v0/v1/v2: f32[T, 3]."""
+                   min_k: int = 128, method: str = "morton") -> ClusterAccel:
+    """Build the cluster accel over triangles v0/v1/v2: f32[T, 3].
+
+    method: "morton" = Morton-sort + fixed chunks; "median" = recursive
+    median splits (_median_order), ~40% less total AABB surface area.
+    NEITHER dominates: on real frames median wins the coherent primary
+    trace (602 -> 341 ms/sample) and LOSES ~3x on incoherent bounce
+    tiles, so production builds BOTH and picks per call
+    (build_scene_clusters + render.py; docs/PERF.md round-2 log).
+    """
     t = v0.shape[0]
     k = _choose_k(t, max_clusters, min_k)
-    pad = (-t) % k
 
     centroids = (v0 + v1 + v2) / 3.0
+    if method == "median":
+        # pad FIRST to (pow2 clusters) * k so segments stay equal-size
+        c_pow2 = _next_pow2((t + k - 1) // k)
+        pad_n = c_pow2 * k - t
+        cent_p = jnp.concatenate(
+            [centroids, jnp.full((pad_n, 3), _PAD_POS, jnp.float32)]) \
+            if pad_n else centroids
+        order_p = _median_order(cent_p, c_pow2)
+        # positions > t are pads; map them to id -1
+        sid = jnp.where(order_p < t, order_p, -1)
+        padv = jnp.full((max(pad_n, 1), 3), _PAD_POS, jnp.float32)
+        v0p = jnp.concatenate([v0, padv[:pad_n]]) if pad_n else v0
+        v1p = jnp.concatenate([v1, padv[:pad_n]]) if pad_n else v1
+        v2p = jnp.concatenate([v2, padv[:pad_n]]) if pad_n else v2
+        gather = jnp.maximum(order_p, 0)
+        sv0 = jnp.where((order_p < t)[:, None], v0p[gather], _PAD_POS)
+        sv1 = jnp.where((order_p < t)[:, None], v1p[gather], _PAD_POS)
+        sv2 = jnp.where((order_p < t)[:, None], v2p[gather], _PAD_POS)
+        # zero edges for pads (sv1/sv2 already equal sv0 = _PAD_POS)
+        pad = pad_n
+        return _finish_build(sv0, sv1, sv2, sid, k, pad, t)
+
     codes = morton_mod.morton_codes(centroids)
     order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    pad = (-t) % k
 
     sv0 = v0[order]
     sv1 = v1[order]
@@ -102,13 +173,18 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
         sv1 = sv1.at[t:].set(sv0[t:])
         sv2 = sv2.at[t:].set(sv0[t:])
 
+    return _finish_build(sv0, sv1, sv2, sid, k, pad, t)
+
+
+def _finish_build(sv0, sv1, sv2, sid, k, pad, t) -> ClusterAccel:
+    """Cluster AABBs + pre-baked blocks over the ordered triangle arrays."""
     c = sv0.shape[0] // k
 
     lo = jnp.minimum(jnp.minimum(sv0, sv1), sv2).reshape(c, k, 3)
     hi = jnp.maximum(jnp.maximum(sv0, sv1), sv2).reshape(c, k, 3)
     # padded tris sit at +1e30: exclude them from real clusters' bounds by
-    # construction (they only share a cluster with real tris in the last
-    # cluster; their AABB inflates it to 1e30 - avoid by masking).
+    # construction; with median ordering pads can land in any tail
+    # cluster, so always mask by sid when padding exists.
     if pad:
         valid = (sid >= 0).reshape(c, k, 1)
         lo = jnp.where(valid, lo, jnp.inf)
@@ -117,7 +193,7 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
     aabb_hi = jnp.max(hi, axis=1)
     if pad:
         # fully-padded clusters (when pad >= k): finite far-away box
-        empty = jnp.all(~valid, axis=1)[..., 0] if pad else None
+        empty = jnp.all(~valid, axis=1)[..., 0]
         aabb_lo = jnp.where(empty[:, None], _PAD_POS, aabb_lo)
         aabb_hi = jnp.where(empty[:, None], _PAD_POS, aabb_hi)
 
@@ -138,9 +214,18 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
                         blocks_t=bt)
 
 
-def build_scene_clusters(scene: Scene, max_clusters: int = 512) -> Scene:
-    """Attach a ClusterAccel to the scene (packet-traversal accel)."""
+def build_scene_clusters(scene: Scene, max_clusters: int = 512,
+                         method: str = "morton") -> Scene:
+    """Attach the packet-traversal accels to the scene.
+
+    `clusters` (the `method` build, Morton by default) serves incoherent
+    bounce/shadow batches; `clusters_fine` (median splits) serves the
+    coherent primary trace - measured per-call winners, docs/PERF.md.
+    """
     tri_ids = jnp.arange(scene.n_tris)
     v0, v1, v2 = scene.tri_vertices(tri_ids)
     return dataclasses.replace(
-        scene, clusters=build_clusters(v0, v1, v2, max_clusters))
+        scene,
+        clusters=build_clusters(v0, v1, v2, max_clusters, method=method),
+        clusters_fine=build_clusters(v0, v1, v2, max_clusters,
+                                     method="median"))

@@ -46,6 +46,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                 "cfg.intersector='cluster' but scene has no cluster accel; "
                 "call accel.cluster.build_scene_clusters(scene) first")
         accel = scene.clusters
+        accel_fine = scene.clusters_fine or accel
         backend = cfg.traversal_backend
         if backend == "pallas" and packet._pallas_interpret():
             # off-TPU the fused kernel only runs interpreted (orders of
@@ -60,9 +61,12 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             # Primary rays arrive in swizzled 8x8 pixel-block order, which
             # is already tighter than the coherence sort's bins: sorting
-            # them measured 585 vs 534 ms unsorted at 1080p/262k
-            # (benchmarks: primary A/B, docs/PERF.md round-2 log).
-            return packet.intersect_clusters(accel, o, d, t_min, t_max,
+            # them measured 585 vs 534 ms unsorted at 1080p/262k. They
+            # also traverse the median-split accel (tight boxes pay for
+            # coherent tiles: 602 -> 341 ms/sample), while bounce batches
+            # keep the Morton accel (docs/PERF.md round-2 log).
+            a = accel_fine if primary else accel
+            return packet.intersect_clusters(a, o, d, t_min, t_max,
                                              backend=backend,
                                              sort_rays=sort_rays
                                              and not primary)

@@ -85,6 +85,14 @@ def read_hdr(path: str) -> np.ndarray:
         raise ValueError(f"{path}: unsupported orientation {res!r}")
     h, w = int(res[1]), int(res[3])
 
+    # native RGBE decoder first (C++ scanline RLE; ~100x the Python loop
+    # on megapixel maps), Python fallback below
+    from pathtracer.utils import native
+
+    dec = native.hdr_decode(data[pos:], w, h)
+    if dec is not None:
+        return dec
+
     rows = []
     for _ in range(h):
         if (8 <= w <= 0x7FFF and pos + 4 <= len(data)

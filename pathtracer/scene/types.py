@@ -113,6 +113,12 @@ class Scene:
     # traversal (accel/cluster.py) - the fast path on TPU.
     bvh: Optional[Bvh]
     clusters: Optional[object] = None
+    # Second cluster accel for COHERENT (primary) rays: median-split
+    # clusters beat Morton chunks 602 -> 341 ms/sample on the unsorted
+    # screen-order primary trace but LOSE 3x on incoherent bounce tiles
+    # (docs/PERF.md round-2 log) - so the renderer keeps both and picks
+    # per call (render.py make_intersectors).
+    clusters_fine: Optional[object] = None
 
     # --- static metadata (not traced) ---
     has_lights: bool = dataclasses.field(metadata=dict(static=True), default=False)

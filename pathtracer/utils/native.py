@@ -72,6 +72,9 @@ def _load():
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32, i32p]
         lib.pt_accessor_to_i32.restype = ctypes.c_int
+        lib.pt_hdr_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                      ctypes.c_int32, f32p]
+        lib.pt_hdr_decode.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -98,6 +101,24 @@ def png_decode(data: bytes):
         return None
     out = np.empty((h.value, w.value, ch.value), np.uint8)
     if lib.pt_png_decode(_u8p(buf), buf.size, _u8p(out)) != 0:
+        return None
+    return out
+
+
+def hdr_decode(data: bytes, w: int, h: int):
+    """Decode Radiance RGBE scanlines -> linear f32 [H, W, 3]; None if n/a.
+
+    `data` starts at the first scanline (the caller parses the header);
+    handles new-RLE and flat/old-style scanlines (stb_image's .hdr role).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((h, w, 3), np.float32)
+    if lib.pt_hdr_decode(_u8p(buf), buf.size, w, h,
+                         out.ctypes.data_as(
+                             ctypes.POINTER(ctypes.c_float))) != 0:
         return None
     return out
 

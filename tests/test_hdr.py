@@ -77,3 +77,23 @@ def test_envmap_cli_ingestion():
     write_hdr("/tmp/t_env.hdr", img)
     env = load_envmap("/tmp/t_env.hdr")
     _assert_rgbe_close(env, img)
+
+
+def test_native_and_python_decoders_agree(tmp_path, monkeypatch):
+    """The C++ RGBE scanline decoder must match the numpy fallback."""
+    import numpy as np
+
+    from pathtracer.scene import hdr
+    from pathtracer.utils import native
+
+    rng = np.random.default_rng(9)
+    img = (rng.random((64, 96, 3)).astype(np.float32) * 10.0) ** 3
+    img[5:9, 10:20] = 0.0           # runs (RLE) + black (e=0) pixels
+    p = str(tmp_path / "par.hdr")
+    hdr.write_hdr(p, img)
+
+    got_native = hdr.read_hdr(p)
+    monkeypatch.setattr(native, "hdr_decode", lambda *a: None)
+    got_python = hdr.read_hdr(p)
+    assert got_native.shape == got_python.shape == img.shape
+    assert np.array_equal(got_native, got_python)
