@@ -177,7 +177,54 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
     metallic = scene.mat_metallic[mid]
     alpha = scene.mat_alpha[mid]
 
-    if scene.has_textures:
+    if scene.has_textures and tex_u is not None \
+            and scene.tex_comp is not None:
+        # Composite path: ONE stochastic 12-byte-row gather fetches the
+        # albedo+metal-rough+normal texels for the lane's material (wide
+        # gather rows amortize latency: 12.3 vs 3 x 23 ms per 2M lanes,
+        # docs/PERF.md round-2 log). Per-material maps were resampled to
+        # shared dims at build; -1 slots decode to neutral but the same
+        # has_* masks gate their use.
+        u, v = uv[..., 0], uv[..., 1]
+        wh = scene.tex_comp_wh[mid]
+        twi = wh[:, 0]
+        thi = wh[:, 1]
+        ux, uy = tex_u
+        x = u * twi.astype(jnp.float32) - 0.5
+        y = v * thi.astype(jnp.float32) - 0.5
+        xi = jnp.mod(jnp.floor(x + ux).astype(jnp.int32), twi)
+        yi = jnp.mod(jnp.floor(y + uy).astype(jnp.int32), thi)
+        rows = scene.tex_comp[mid, yi, xi]            # [N, 3] u32
+
+        def unpack(p):
+            return [((p >> jnp.uint32(8 * i)) & jnp.uint32(0xFF))
+                    .astype(jnp.float32) * (1.0 / 255.0) for i in range(4)]
+
+        ar, ag, ab_, aa = unpack(rows[:, 0])
+        has_at = scene.mat_albedo_tex[mid] >= 0
+        tex_rgb = jnp.stack([ar, ag, ab_], axis=1)
+        albedo = jnp.where(has_at[..., None], tex_rgb ** 2.2, albedo)
+        alpha = jnp.where(has_at, alpha * aa, alpha)
+
+        _, mg, mb, _ = unpack(rows[:, 1])
+        has_mr = scene.mat_mr_tex[mid] >= 0
+        roughness = jnp.where(has_mr, roughness * mg, roughness)
+        metallic = jnp.where(has_mr, metallic * mb, metallic)
+
+        nr, ng, nb2, _ = unpack(rows[:, 2])
+        nt = scene.mat_normal_tex[mid]
+        t0 = row[:, 20:23]
+        t1 = row[:, 23:26]
+        t2 = row[:, 26:29]
+        tangent = vmath.normalize(t0 * w0 + t1 * w1 + t2 * w2)
+        nm = jnp.stack([nr, ng, nb2], axis=1) * 2.0 - 1.0
+        t_ortho = vmath.normalize(
+            tangent - normal * vmath.dotk(normal, tangent))
+        b = vmath.cross(normal, t_ortho)
+        mapped = vmath.normalize(
+            t_ortho * nm[..., 0:1] + b * nm[..., 1:2] + normal * nm[..., 2:3])
+        normal = jnp.where((nt >= 0)[..., None], mapped, normal)
+    elif scene.has_textures:
         u, v = uv[..., 0], uv[..., 1]
         # Albedo: sRGB-encoded texture REPLACES the factor and linearizes
         # with pow 2.2; alpha multiplies (closesthit.rchit:88-92).

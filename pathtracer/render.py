@@ -77,8 +77,14 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             # (occl 624 ms at 131k-ray chunks vs 763 at 32k; frame_ab +
             # chunk_sweep, docs/PERF.md round-2 log). Deeper bounces keep
             # the default chunk for fine-grained dead skipping.
+            # PT_OCCL_ACCEL=fine routes shadow rays through the
+            # median-split accel (A/B knob; see frame_ab.py).
+            import os
+
             chunk = 131072 if primary else None
-            return packet.occluded_clusters(accel, o, d, t_max,
+            a = accel_fine if os.environ.get(
+                "PT_OCCL_ACCEL") == "fine" else accel
+            return packet.occluded_clusters(a, o, d, t_max,
                                             backend=backend,
                                             sort_rays=sort_rays,
                                             chunk_rays=chunk)

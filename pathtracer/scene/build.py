@@ -200,6 +200,51 @@ class SceneBuilder:
             stack = np.full((1, 1, 1, 4), 255, np.uint8)
             tex_wh = np.ones((1, 2), np.int32)
 
+        # --- per-material composite texels (one gather = all three maps;
+        # see Scene.tex_comp). Cost: per-MATERIAL storage at the max dims
+        # of its maps (maps resampled to the shared dims at build time),
+        # so gate by a memory budget and let fetch_surface fall back.
+        tex_comp = None
+        tex_comp_wh = None
+        if has_textures:
+            dims = []
+            for m in mats:
+                mh = mw = 1
+                for tid in (m.albedo_tex, m.mr_tex, m.normal_tex):
+                    if tid >= 0:
+                        t = self.textures[tid]
+                        mh = max(mh, t.shape[0])
+                        mw = max(mw, t.shape[1])
+                dims.append((mh, mw))
+            ch = max(d[0] for d in dims)
+            cw = max(d[1] for d in dims)
+            if len(mats) * ch * cw * 12 <= (512 << 20):
+                comp = np.zeros((len(mats), ch, cw, 3), np.uint32)
+                tex_comp_wh = np.ones((len(mats), 2), np.int32)
+
+                def packed_layer(tid, h, w, neutral):
+                    if tid < 0:
+                        img = np.broadcast_to(
+                            np.asarray(neutral, np.float32), (h, w, 4))
+                    else:
+                        t = self.textures[tid]
+                        img = t if t.shape[:2] == (h, w)                             else _resize_bilinear(t, h, w)
+                    q = np.clip(np.round(img * 255.0), 0,
+                                255).astype(np.uint32)
+                    return (q[..., 0] | (q[..., 1] << 8)
+                            | (q[..., 2] << 16) | (q[..., 3] << 24))
+
+                for mi, m in enumerate(mats):
+                    h, w = dims[mi]
+                    tex_comp_wh[mi] = (w, h)
+                    comp[mi, :h, :w, 0] = packed_layer(
+                        m.albedo_tex, h, w, (1, 1, 1, 1))
+                    comp[mi, :h, :w, 1] = packed_layer(
+                        m.mr_tex, h, w, (1, 1, 1, 1))
+                    comp[mi, :h, :w, 2] = packed_layer(
+                        m.normal_tex, h, w, (0.5, 0.5, 1, 1))
+                tex_comp = comp
+
         envmap = (self.envmap if self.envmap is not None
                   else np.zeros((1, 1, 3), np.float32))
         from pathtracer.scene.envlight import build_env_distribution
@@ -225,6 +270,9 @@ class SceneBuilder:
             mat_normal_tex=jnp.asarray([m.normal_tex for m in mats], dtype=jnp.int32),
             textures=jnp.asarray(stack),
             tex_wh=jnp.asarray(tex_wh),
+            tex_comp=(None if tex_comp is None else jnp.asarray(tex_comp)),
+            tex_comp_wh=(None if tex_comp_wh is None
+                         else jnp.asarray(tex_comp_wh)),
             light_v0=jnp.asarray(light_v0),
             light_v1=jnp.asarray(light_v1),
             light_v2=jnp.asarray(light_v2),

@@ -120,6 +120,15 @@ class Scene:
     # per call (render.py make_intersectors).
     clusters_fine: Optional[object] = None
 
+    # Per-MATERIAL composite texels: one u32x3 row packs the albedo RGBA,
+    # metal-rough, and normal-map texels at a shared resolution, so the
+    # stochastic sampler fetches all three maps with ONE 12-byte-row
+    # gather (12.3 ms vs 3 x 23 ms per 2M lanes - wide gather rows
+    # amortize latency, docs/PERF.md round-2 log). Built under a memory
+    # budget in SceneBuilder.finalize; None = use the per-texture stack.
+    tex_comp: Optional[jnp.ndarray] = None     # u32 [M, CH, CW, 3]
+    tex_comp_wh: Optional[jnp.ndarray] = None  # i32 [M, 2] true (w, h)
+
     # --- static metadata (not traced) ---
     has_lights: bool = dataclasses.field(metadata=dict(static=True), default=False)
     n_lights: int = dataclasses.field(metadata=dict(static=True), default=0)

@@ -142,3 +142,59 @@ def test_stochastic_texture_filter_matches_bilinear_in_expectation():
         acc += np.asarray(_sample_texture(tex_u8, wh, tid, u, v, (ux, uy)))
     err = np.abs(acc / m - np.asarray(exact)).max()
     assert err < 0.02, f"stochastic filter biased: max err {err:.4f}"
+
+
+def test_composite_texels_match_per_texture_path():
+    """The one-gather composite path must reproduce the 3-tap stochastic
+    path exactly when all of a material's maps share dims (no build-time
+    resampling), since both decode the same u8 quantization."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer.integrator.path import fetch_surface, pack_surface_rows
+    from pathtracer.kernels.intersect import Hit
+    from pathtracer.scene.build import MaterialDesc, SceneBuilder
+
+    rng = np.random.default_rng(5)
+    b = SceneBuilder()
+    a_t = b.add_texture(rng.random((16, 16, 4)).astype(np.float32))
+    m_t = b.add_texture(rng.random((16, 16, 4)).astype(np.float32))
+    n_t = b.add_texture(
+        np.concatenate([rng.random((16, 16, 3)).astype(np.float32) * 0.4
+                        + 0.3, np.ones((16, 16, 1), np.float32)], -1))
+    mat = b.add_material(MaterialDesc(albedo=(1, 1, 1), albedo_tex=a_t,
+                                      mr_tex=m_t, normal_tex=n_t,
+                                      roughness=0.5, metallic=0.5))
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    b.add_mesh(verts, np.array([[0, 1, 2]]), mat,
+               uvs=rng.random((3, 2)).astype(np.float32),
+               tangents=np.tile([[1, 0, 0]], (3, 1)).astype(np.float32))
+    scene = b.finalize()
+    assert scene.tex_comp is not None
+
+    n = 64
+    hit = Hit(t=jnp.ones((n,)), tri=jnp.zeros((n,), jnp.int32),
+              u=jnp.asarray(rng.random(n, dtype=np.float32) * 0.5),
+              v=jnp.asarray(rng.random(n, dtype=np.float32) * 0.5))
+    o = jnp.zeros((n, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    tex_u = (jnp.asarray(rng.random(n, dtype=np.float32)),
+             jnp.asarray(rng.random(n, dtype=np.float32)))
+    rows = pack_surface_rows(scene)
+
+    s_comp = fetch_surface(scene, rows, hit, o, d, False, tex_u)
+    scene_nc = dc.replace(scene, tex_comp=None, tex_comp_wh=None)
+    s_tex = fetch_surface(scene_nc, rows, hit, o, d, False, tex_u)
+
+    np.testing.assert_array_equal(np.asarray(s_comp.albedo),
+                                  np.asarray(s_tex.albedo))
+    np.testing.assert_array_equal(np.asarray(s_comp.alpha),
+                                  np.asarray(s_tex.alpha))
+    np.testing.assert_array_equal(np.asarray(s_comp.roughness),
+                                  np.asarray(s_tex.roughness))
+    np.testing.assert_array_equal(np.asarray(s_comp.metallic),
+                                  np.asarray(s_tex.metallic))
+    np.testing.assert_allclose(np.asarray(s_comp.normal),
+                               np.asarray(s_tex.normal), atol=1e-6)
