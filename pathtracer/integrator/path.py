@@ -106,6 +106,30 @@ def _sample_texture(textures, tex_wh, tex_id, u, v, tex_u=None):
     return a * (1 - fy) + b * fy
 
 
+def pack_material_rows(scene: Scene) -> jnp.ndarray:
+    """Pre-pack per-material properties into ONE wide row (same trick as
+    pack_surface_rows): albedo(3) emission(3) roughness metallic ior
+    alpha type_val atex_val mrtex_val ntex_val -> f32 [M, 16]. fetch_
+    surface then does a single [N,16] row-gather instead of ~10 narrow
+    per-property gathers per bounce. Integer fields ride as VALUES + 1
+    (exact below 2^24; bitcasts are denormal-flushed on TPU).
+    """
+    f = lambda a: a.astype(jnp.float32)  # noqa: E731
+    cols = [scene.mat_albedo, scene.mat_emission,
+            scene.mat_roughness[:, None], scene.mat_metallic[:, None],
+            scene.mat_ior[:, None], scene.mat_alpha[:, None],
+            f(scene.mat_type + 1)[:, None],
+            f(scene.mat_albedo_tex + 1)[:, None],
+            f(scene.mat_mr_tex + 1)[:, None],
+            f(scene.mat_normal_tex + 1)[:, None]]
+    rows = jnp.concatenate(cols, axis=1)
+    pad = (-rows.shape[1]) % 8
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((rows.shape[0], pad), jnp.float32)], axis=1)
+    return rows
+
+
 def pack_surface_rows(scene: Scene) -> jnp.ndarray:
     """Pre-gather per-triangle shading attributes into ONE wide row.
 
@@ -171,11 +195,20 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
     geom_normal = row[:, 15:18]
 
     mid = jnp.round(row[:, 18]).astype(jnp.int32) - 1
-    albedo = scene.mat_albedo[mid]
-    emission = scene.mat_emission[mid]
-    roughness = scene.mat_roughness[mid]
-    metallic = scene.mat_metallic[mid]
-    alpha = scene.mat_alpha[mid]
+    mrow = pack_material_rows(scene)[mid]         # [N, 16] single gather
+    albedo = mrow[:, 0:3]
+    emission = mrow[:, 3:6]
+    roughness = mrow[:, 6]
+    metallic = mrow[:, 7]
+    ior = mrow[:, 8]
+    alpha = mrow[:, 9]
+    mat_type = jnp.round(mrow[:, 10]).astype(jnp.int32) - 1
+    atex = jnp.round(mrow[:, 11]).astype(jnp.int32) - 1
+    mrtex = jnp.round(mrow[:, 12]).astype(jnp.int32) - 1
+    ntex = jnp.round(mrow[:, 13]).astype(jnp.int32) - 1
+    # the BASE color factor, before any texture replaces `albedo` below:
+    # NEE's Le = emission * baseColorFactor (main.cpp:282-284)
+    albedo_factor = albedo
 
     if scene.has_textures and tex_u is not None \
             and scene.tex_comp is not None:
@@ -201,18 +234,18 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
                     .astype(jnp.float32) * (1.0 / 255.0) for i in range(4)]
 
         ar, ag, ab_, aa = unpack(rows[:, 0])
-        has_at = scene.mat_albedo_tex[mid] >= 0
+        has_at = atex >= 0
         tex_rgb = jnp.stack([ar, ag, ab_], axis=1)
         albedo = jnp.where(has_at[..., None], tex_rgb ** 2.2, albedo)
         alpha = jnp.where(has_at, alpha * aa, alpha)
 
         _, mg, mb, _ = unpack(rows[:, 1])
-        has_mr = scene.mat_mr_tex[mid] >= 0
+        has_mr = mrtex >= 0
         roughness = jnp.where(has_mr, roughness * mg, roughness)
         metallic = jnp.where(has_mr, metallic * mb, metallic)
 
         nr, ng, nb2, _ = unpack(rows[:, 2])
-        nt = scene.mat_normal_tex[mid]
+        nt = ntex
         t0 = row[:, 20:23]
         t1 = row[:, 23:26]
         t2 = row[:, 26:29]
@@ -228,7 +261,7 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         u, v = uv[..., 0], uv[..., 1]
         # Albedo: sRGB-encoded texture REPLACES the factor and linearizes
         # with pow 2.2; alpha multiplies (closesthit.rchit:88-92).
-        at = scene.mat_albedo_tex[mid]
+        at = atex
         tex = _sample_texture(scene.textures, scene.tex_wh, at, u, v,
                               tex_u)
         has_at = (at >= 0)
@@ -236,7 +269,7 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
                            jnp.maximum(tex[..., :3], 0.0) ** 2.2, albedo)
         alpha = jnp.where(has_at, alpha * tex[..., 3], alpha)
         # Metal-rough from G/B channels, multiplied (closesthit.rchit:97-101).
-        mrt = scene.mat_mr_tex[mid]
+        mrt = mrtex
         mr = _sample_texture(scene.textures, scene.tex_wh, mrt, u, v,
                              tex_u)
         has_mr = (mrt >= 0)
@@ -244,7 +277,7 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         metallic = jnp.where(has_mr, metallic * mr[..., 2], metallic)
         # Tangent-space normal map via Gram-Schmidt TBN
         # (closesthit.rchit:104-112).
-        nt = scene.mat_normal_tex[mid]
+        nt = ntex
         t0 = row[:, 20:23]
         t1 = row[:, 23:26]
         t2 = row[:, 26:29]
@@ -261,7 +294,7 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         emission_eff = emission  # closesthit.rchit:116 payload = mat.emission
     else:
         # consistent with the light list's Le (main.cpp:282-284)
-        emission_eff = emission * scene.mat_albedo[mid]
+        emission_eff = emission * albedo_factor
 
     return Surface(
         position=position,
@@ -271,9 +304,9 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
         emission=emission_eff,
         roughness=jnp.clip(roughness, 0.01, 1.0),   # closesthit.rchit:119
         metallic=jnp.clip(metallic, 0.0, 1.0),      # closesthit.rchit:121
-        ior=scene.mat_ior[mid],
+        ior=ior,
         alpha=jnp.clip(alpha, 0.0, 1.0),            # closesthit.rchit:122
-        mat_type=scene.mat_type[mid],
+        mat_type=mat_type,
         light_pdf_area=row[:, 19],
     )
 
