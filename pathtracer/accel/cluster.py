@@ -74,36 +74,60 @@ class ClusterAccel:
         return self.blocks.shape[1]
 
 
-def _median_order(centroids, n_segments: int):
+def _median_order(centroids, n_segments: int, axis_mode: str = "longest"):
     """Recursive median-split (k-d) ordering over equal-size segments.
 
-    log2(n_segments) rounds; each round measures every segment's centroid
-    extent, picks its longest axis, and sorts the segment's contents along
-    it (one two-key lax.sort per round: segment id, then coordinate).
-    Consecutive K-blocks of the result are median-split clusters - much
-    tighter AABBs than fixed Morton chunks because every split is a true
-    object-median along the locally-longest axis. Pad centroids (1e30)
-    sort to segment tails and end up in the final clusters.
+    log2(n_segments) rounds; each round picks a split axis per segment
+    and sorts the segment's contents along it (two-key lax.sort: segment
+    id, then coordinate). Consecutive K-blocks of the result are
+    median-split clusters - much tighter AABBs than fixed Morton chunks.
+    Pad centroids (1e30) sort to segment tails.
+
+    axis_mode: "longest" = each segment's longest centroid-extent axis
+    (1 sort/round); "sa" = SAH-lite - evaluate the median split on ALL
+    three axes and keep the one minimizing the children's summed AABB
+    surface area (4 sorts/round).
     """
     n = centroids.shape[0]            # n % n_segments == 0; both pow2
     levels = n_segments.bit_length() - 1
     order = jnp.arange(n, dtype=jnp.int32)
     pos = jnp.arange(n, dtype=jnp.int32)
+
+    def child_sa(ordered, nseg, s):
+        """Summed child-AABB surface area per segment after a median cut."""
+        ca = centroids[ordered]
+        va = (ca[:, 0] < 1e29)[:, None]
+        cs2 = ca.reshape(nseg * 2, s // 2, 3)
+        vs2 = va.reshape(nseg * 2, s // 2, 1)
+        lo2 = jnp.min(jnp.where(vs2, cs2, jnp.inf), axis=1)
+        hi2 = jnp.max(jnp.where(vs2, cs2, -jnp.inf), axis=1)
+        e = jnp.nan_to_num(hi2 - lo2, neginf=0.0, posinf=0.0)
+        sa = e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 0] * e[:, 2]
+        return sa.reshape(nseg, 2).sum(axis=1)
+
     for lvl in range(levels):
         nseg = 1 << lvl
         s = n // nseg
         c = centroids[order]
         valid = (c[:, 0] < 1e29)[:, None]
-        cs = c.reshape(nseg, s, 3)
-        vs = valid.reshape(nseg, s, 1)
-        lo = jnp.min(jnp.where(vs, cs, jnp.inf), axis=1)
-        hi = jnp.max(jnp.where(vs, cs, -jnp.inf), axis=1)
-        ext = jnp.nan_to_num(hi - lo, neginf=0.0, posinf=0.0)
-        axis = jnp.argmax(ext, axis=1)                       # [nseg]
+        seg = pos // s
+        if axis_mode == "sa" and s >= 2:
+            costs = []
+            for a in range(3):
+                coord = jnp.where(valid[:, 0], c[:, a], jnp.inf)
+                _, _, ord_a = jax.lax.sort((seg, coord, order), num_keys=2)
+                costs.append(child_sa(ord_a, nseg, s))
+            axis = jnp.argmin(jnp.stack(costs, axis=1), axis=1)  # [nseg]
+        else:
+            cs = c.reshape(nseg, s, 3)
+            vs = valid.reshape(nseg, s, 1)
+            lo = jnp.min(jnp.where(vs, cs, jnp.inf), axis=1)
+            hi = jnp.max(jnp.where(vs, cs, -jnp.inf), axis=1)
+            ext = jnp.nan_to_num(hi - lo, neginf=0.0, posinf=0.0)
+            axis = jnp.argmax(ext, axis=1)                       # [nseg]
         ax_per = jnp.repeat(axis, s)
         coord = jnp.take_along_axis(c, ax_per[:, None], axis=1)[:, 0]
         coord = jnp.where(valid[:, 0], coord, jnp.inf)
-        seg = pos // s
         _, _, order = jax.lax.sort((seg, coord, order), num_keys=2)
     return order
 
@@ -130,14 +154,15 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
     k = _choose_k(t, max_clusters, min_k)
 
     centroids = (v0 + v1 + v2) / 3.0
-    if method == "median":
+    if method in ("median", "sah"):
         # pad FIRST to (pow2 clusters) * k so segments stay equal-size
         c_pow2 = _next_pow2((t + k - 1) // k)
         pad_n = c_pow2 * k - t
         cent_p = jnp.concatenate(
             [centroids, jnp.full((pad_n, 3), _PAD_POS, jnp.float32)]) \
             if pad_n else centroids
-        order_p = _median_order(cent_p, c_pow2)
+        order_p = _median_order(
+            cent_p, c_pow2, "sa" if method == "sah" else "longest")
         # positions > t are pads; map them to id -1
         sid = jnp.where(order_p < t, order_p, -1)
         padv = jnp.full((max(pad_n, 1), 3), _PAD_POS, jnp.float32)

@@ -84,3 +84,43 @@ def test_packet_duplicate_centroids(random_rays):
     v1 = v0 + off
     v2 = v0 - off + rng.uniform(-0.1, 0.1, (80, 3)).astype(np.float32)
     _check_match(v0, v1, v2, o, d)
+
+
+def test_cluster_methods_partition_and_agree():
+    """All cluster orderings (morton / median / sah) are exact partitions
+    and produce identical closest hits - clustering is a scheduling
+    choice, never a correctness one."""
+    import numpy as np
+
+    from pathtracer.accel.cluster import build_clusters
+    from pathtracer.kernels.intersect import intersect_brute
+    from pathtracer.kernels.packet import intersect_clusters
+
+    rng = np.random.default_rng(17)
+    t = 700                      # forces padding in every method
+    v0 = jnp.asarray(rng.uniform(-2, 2, (t, 3)).astype(np.float32))
+    v1 = v0 + jnp.asarray(rng.uniform(-.3, .3, (t, 3)).astype(np.float32))
+    v2 = v0 + jnp.asarray(rng.uniform(-.3, .3, (t, 3)).astype(np.float32))
+    n = 256
+    o = jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+
+    ref = intersect_brute(o, d, v0, v1, v2, 1e-3, 1e20)
+    for method in ("morton", "median", "sah"):
+        accel = build_clusters(v0, v1, v2, 8, method=method)
+        ids = np.asarray(accel.blocks[..., 9].reshape(-1))
+        ids = np.round(ids).astype(np.int64) - 1
+        assert np.array_equal(np.sort(ids[ids >= 0]), np.arange(t)), method
+        hit = intersect_clusters(accel, o, d, 1e-3, 1e20)
+        # tri ids may differ on exact-tie hits (visit order is a
+        # scheduling choice); the hit/miss SETS (tri >= 0 - the brute
+        # oracle encodes misses as t=1e20, packet as inf) and the hit
+        # DISTANCES must agree exactly
+        np.testing.assert_array_equal(
+            np.asarray(hit.tri) >= 0, np.asarray(ref.tri) >= 0,
+            err_msg=method)
+        m = np.asarray(ref.tri) >= 0
+        np.testing.assert_allclose(np.asarray(hit.t)[m],
+                                   np.asarray(ref.t)[m],
+                                   rtol=1e-5, err_msg=method)
