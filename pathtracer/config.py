@@ -96,6 +96,17 @@ class RenderConfig:
     # Ignored when wavefront_sort already ordered the rays.
     packet_sort: bool = True
 
+    # Trace NEE shadow rays in REVERSE (from the sampled light point toward
+    # the surface). The blocked set is identical (the facing convention
+    # flips, handled by front_sign; the tested segment interval matches to
+    # the same relative epsilons), but the BATCH GEOMETRY changes class:
+    # forward shadow origins are as incoherent as bounce origins (measured,
+    # docs/PERF.md round-2 log 0.9), while reversed origins cluster on the
+    # emitter area - the batch becomes camera-like (tight origins, sorted
+    # direction cone) and sweeps at primary-ray rates. No effect in
+    # reference_quirks mode (the quirk scheme aims behind the light).
+    shadow_from_light: bool = False
+
     # Stochastic bilinear texture filtering: jitter the texel coordinate
     # by a per-(lane, bounce) uniform and take ONE tap whose expectation
     # is the bilinear kernel, instead of 4 deterministic taps. Texture

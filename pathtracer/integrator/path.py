@@ -406,9 +406,25 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
         s_dir = seg / seg_len[..., None]
         s_tmax = seg_len * (1.0 - 1e-3)
     valid = geo_ok if shade is None else (geo_ok & shade)
-    s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead lanes
-    s_dir = jnp.where(valid[..., None], s_dir, 1.0)
-    blocked = occluded_fn(s_orig, s_dir, s_tmax, primary=primary)
+    if cfg.shadow_from_light and not cfg.reference_quirks:
+        # REVERSED shadow ray: origin just off the sampled light point,
+        # aimed at the surface. Same tested interval as the forward
+        # scheme - the origin offset seg_len*1e-3 mirrors the forward
+        # tmax pullback, t > 0 excludes the emitter plane, t < tmax
+        # excludes the receiver - and the facing convention flips
+        # (front_sign=-1). Why: reversed origins cluster on the emitter,
+        # so the occlusion batch is camera-class coherent instead of
+        # bounce-class (cfg.shadow_from_light docstring).
+        d_r = -s_dir
+        o_r = p_on_light + d_r * (seg_len * 1e-3)[..., None]
+        o_r = jnp.where(valid[..., None], o_r, 1e30)  # park dead lanes
+        d_r = jnp.where(valid[..., None], d_r, 1.0)
+        blocked = occluded_fn(o_r, d_r, s_tmax, primary=primary,
+                              front_sign=-1.0)
+    else:
+        s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead
+        s_dir = jnp.where(valid[..., None], s_dir, 1.0)
+        blocked = occluded_fn(s_orig, s_dir, s_tmax, primary=primary)
 
     f = mf.eval_brdf(surf.normal, view, l_dir, surf.albedo, surf.metallic,
                      surf.roughness)
@@ -583,13 +599,17 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
 
         # --- NEE (raygen.rgen:168-261) ---
         shade = active & ~passthrough & ~is_dielectric
-        if scene.has_lights:
+        # PT_SKIP_NEE=1 (trace-time env, benchmarks/env_ab.py only):
+        # drop the NEE stage to attribute its cost in real frames.
+        import os as _os
+        skip_nee = _os.environ.get("PT_SKIP_NEE", "0") != "0"
+        if scene.has_lights and not skip_nee:
             nee = _nee(scene, cfg, surf, view, pix, samp, depth,
                        occluded_fn, shade, primary)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * nee, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
-        if env_nee:
+        if env_nee and not skip_nee:
             env_c = _nee_env(scene, cfg, surf, view, pix, samp,
                              depth, occluded_fn, shade, primary)
             radiance = radiance + jnp.where(

@@ -223,12 +223,20 @@ def _frustum_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
     return jnp.where(hit, jnp.maximum(near_lower, 0.0), jnp.inf)
 
 
-def _sorted_schedule(tile_tnear, cpi):
+def _sorted_schedule(tile_tnear, cpi, descending=False):
     """Sort each tile's cluster list near-to-far ONCE, padded to cpi.
 
     The traversal loop then just slices consecutive columns - no per-
     iteration argmin/masking (small ops dominate loop-body cost on this
     platform). Returns (sorted_tnear, sorted_cids) f32/i32 [tiles, C'].
+
+    descending=True visits clusters far-to-near instead (REVERSED
+    occlusion rays: blockers concentrate near the receiver = the far end
+    of a light->surface ray, so any-hit early exit wants far first).
+    Non-visited clusters stay +inf either way; the returned distances are
+    NEGATED for finite entries in this mode - only their finiteness is
+    meaningful to the occlusion sweep (closest-hit must NOT use it: its
+    early-out compares real distances against best_t).
     """
     tiles, c = tile_tnear.shape
     pad = (-c) % cpi
@@ -236,6 +244,9 @@ def _sorted_schedule(tile_tnear, cpi):
         tile_tnear = jnp.concatenate(
             [tile_tnear, jnp.full((tiles, pad), jnp.inf, jnp.float32)],
             axis=1)
+    if descending:
+        tile_tnear = jnp.where(jnp.isfinite(tile_tnear), -tile_tnear,
+                               jnp.inf)
     ids = jnp.broadcast_to(
         jnp.arange(tile_tnear.shape[1], dtype=jnp.int32)[None, :],
         tile_tnear.shape)
@@ -283,8 +294,13 @@ def _mt_closest(block, o, d, t_min, t_max):
     return tj, uj, vj, idj
 
 
-def _mt_any_front(block, o, d, t_max):
-    """Any front-facing hit below t_max (shadow policy raygen.rgen:214-218)."""
+def _mt_any_front(block, o, d, t_max, front_sign=1.0):
+    """Any front-facing hit below t_max (shadow policy raygen.rgen:214-218).
+
+    front_sign = -1.0 flips the facing test for REVERSED shadow rays
+    (traced light->surface): front-facing to the original surface->light
+    direction means back-facing to the reversed ray.
+    """
     v0 = block[:, None, :, 0:3]
     e1 = block[:, None, :, 3:6]
     e2 = block[:, None, :, 6:9]
@@ -299,7 +315,7 @@ def _mt_any_front(block, o, d, t_max):
     v = jnp.sum(db * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     gn = jnp.cross(e1, e2)
-    front = jnp.sum(db * gn, axis=-1) < 0.0
+    front = front_sign * jnp.sum(db * gn, axis=-1) < 0.0
     ok = ((jnp.abs(det) > DET_EPS)
           & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t > 0.0) & (t < t_max[:, :, None]) & front)
@@ -420,7 +436,8 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
 
 
 def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
-                    backend="xla", dir_bits=None):
+                    backend="xla", dir_bits=None, front_sign=1.0,
+                    schedule_far=False, morton_end=False):
     def run(rays):
         def dead(rays):
             return (rays[0][:, 0] + rays[1][:, 0]) * 0.0 > 1.0
@@ -434,7 +451,13 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
         ref = o_in[..., 0] + d_in[..., 0]
 
         if sort_rays:
-            order, inv = _coherence_order(accel, o_in, d_in, dir_bits)
+            # morton_end: key origin locality on the segment ENDPOINT
+            # (the receiver) instead of the origin - for reversed shadow
+            # rays all origins sit on the emitter and carry no entropy,
+            # while receiver locality predicts which far clusters a tile
+            # needs. Parked lanes (o >= 1e29) still key to the tail.
+            o_key = (o_in + d_in * tmax_in[:, None]) if morton_end else o_in
+            order, inv = _coherence_order(accel, o_key, d_in, dir_bits)
             odt = jnp.concatenate(
                 [o_in, d_in, tmax_in[:, None]], axis=1)[order]
             o = odt[:, 0:3]
@@ -455,17 +478,18 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
 
             k = accel.blocks_t.shape[2]
             p_cpi = max(1, pallas_sweep.LANES // k)
-            st, si = _sorted_schedule(tile_tnear, p_cpi)
+            st, si = _sorted_schedule(tile_tnear, p_cpi,
+                                      descending=schedule_far)
             rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
             blocked = pallas_sweep.sweep_occluded(
                 st, si, rays6, tm, accel.blocks_t,
-                interpret=_pallas_interpret()) > 0
+                interpret=_pallas_interpret(), front_sign=front_sign) > 0
             blocked = blocked.reshape(n)
             if sort_rays:
                 blocked = blocked[inv]
             return blocked
 
-        st, si = _sorted_schedule(tile_tnear, cpi)
+        st, si = _sorted_schedule(tile_tnear, cpi, descending=schedule_far)
         n_cols = st.shape[1]
 
         state = (
@@ -486,7 +510,7 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
             cids = jax.lax.dynamic_slice_in_dim(si, j, cpi, 1)
 
             block = _fetch_blocks(accel, cids)
-            newly = _mt_any_front(block, ot, dt, tm)
+            newly = _mt_any_front(block, ot, dt, tm, front_sign)
             blocked = blocked | (newly & live[:, None])
             return j + cpi, blocked
 
@@ -559,8 +583,15 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
                       sort_rays: bool = True, tile_rays: int = None,
                       cpi: int = None, chunk_rays: int = None,
                       cull: str = "ray", backend: str = "xla",
-                      dir_bits: int = None):
-    """Any-hit (front-facing) visibility via packet traversal."""
+                      dir_bits: int = None, front_sign: float = 1.0,
+                      schedule_far: bool = False, morton_end: bool = False):
+    """Any-hit (front-facing) visibility via packet traversal.
+
+    front_sign = -1.0 flips the backface-skip convention for shadow rays
+    traced in REVERSE (light -> surface); see _mt_any_front. schedule_far
+    visits clusters far-to-near (see _sorted_schedule); morton_end keys
+    the coherence sort on segment endpoints (see _occluded_chunk).
+    """
     if dir_bits is None:
         dir_bits = int(os.environ.get("PT_OCCL_DB", "2"))
     tile_rays = tile_rays or TILE_RAYS
@@ -569,5 +600,5 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
     return _chunk_map(
         _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend,
-                        dir_bits),
+                        dir_bits, front_sign, schedule_far, morton_end),
         (o, d, t_max), o.shape[0], tile_rays, chunk_rays)

@@ -86,7 +86,8 @@ def _mt_lane(block, rays, t_min, best_t):
 
 def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
                   t_ref, tri_ref, u_ref, v_ref,
-                  scratch, sems, *, cpi, k, t_min, t_max, n_cols):
+                  scratch, sems, *, cpi, k, t_min, t_max, n_cols,
+                  gate_extract=False):
     r = rays_ref.shape[2]
     rays = rays_ref[0]                      # [6, R]
 
@@ -143,19 +144,35 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
         tid = jnp.round(block[tid_row, :].reshape(1, -1)).astype(jnp.int32)             - 1
 
         tj = jnp.min(t, axis=1, keepdims=True)        # [R, 1]
-        j = jnp.argmin(t, axis=1, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        sel = (lane == j).astype(jnp.float32)
-        uj = jnp.sum(u * sel, axis=1, keepdims=True)
-        vj = jnp.sum(v * sel, axis=1, keepdims=True)
-        idj = jnp.sum(jnp.where(lane == j, tid, 0), axis=1, keepdims=True)
 
-        better = (tj < best_t) & jnp.isfinite(tj) & (idj >= 0)
-        best_t = jnp.where(better, tj, best_t)
-        best_tri = jnp.where(better, idj, best_tri)
-        best_u = jnp.where(better, uj, best_u)
-        best_v = jnp.where(better, vj, best_v)
-        max_best = jnp.max(best_t)
+        def extract(args):
+            best_t, best_tri, best_u, best_v, max_best = args
+            j = jnp.argmin(t, axis=1, keepdims=True)
+            lane = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            sel = (lane == j).astype(jnp.float32)
+            uj = jnp.sum(u * sel, axis=1, keepdims=True)
+            vj = jnp.sum(v * sel, axis=1, keepdims=True)
+            idj = jnp.sum(jnp.where(lane == j, tid, 0), axis=1,
+                          keepdims=True)
+
+            better = (tj < best_t) & jnp.isfinite(tj) & (idj >= 0)
+            best_t = jnp.where(better, tj, best_t)
+            best_tri = jnp.where(better, idj, best_tri)
+            best_u = jnp.where(better, uj, best_u)
+            best_v = jnp.where(better, vj, best_v)
+            return best_t, best_tri, best_u, best_v, jnp.max(best_t)
+
+        hit_state = (best_t, best_tri, best_u, best_v, max_best)
+        if gate_extract:
+            # _mt_lane already gates ok on t < best_t, so a finite tj
+            # means this column improves SOME ray; most near-to-far
+            # columns improve none and skip the argmin + one-hot
+            # extraction entirely (a real scf.if branch).
+            hit_state = jax.lax.cond(
+                jnp.any(jnp.isfinite(tj)), extract, lambda a: a, hit_state)
+        else:
+            hit_state = extract(hit_state)
+        best_t, best_tri, best_u, best_v, max_best = hit_state
         return col + 1, best_t, best_tri, best_u, best_v, max_best
 
     # best_t starts at the per-ray scene-exit cap (not t_max): rays that
@@ -187,7 +204,8 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
 
 def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
-                 out_ref, scratch, sems, *, cpi, k, n_cols):
+                 out_ref, scratch, sems, *, cpi, k, n_cols,
+                 front_sign=1.0):
     r = rays_ref.shape[2]
     rays = rays_ref[0]                      # [6, R]
     t_max = tm_ref[0, 0, :].reshape(r, 1)
@@ -249,7 +267,9 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
         gnx = e1y * e2z - e1z * e2y
         gny = e1z * e2x - e1x * e2z
         gnz = e1x * e2y - e1y * e2x
-        front = (dx * gnx + dy * gny + dz * gnz) < 0.0
+        # front_sign = -1.0 flips the facing test for REVERSED shadow rays
+        # (light -> surface); see kernels/packet._mt_any_front.
+        front = front_sign * (dx * gnx + dy * gny + dz * gnz) < 0.0
         hit = jnp.isfinite(t) & front & (t < t_max)
         # blocked is carried as i32: i1 vectors in while-carries fail to
         # legalize in Mosaic
@@ -302,9 +322,13 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
     r = rays.shape[2]
     n_cols = cs // cpi
 
+    import os
+
     kern = functools.partial(_sweep_kernel, cpi=cpi, k=k,
                              t_min=float(t_min), t_max=float(t_max),
-                             n_cols=n_cols)
+                             n_cols=n_cols,
+                             gate_extract=os.environ.get(
+                                 "PT_SWEEP_GATE", "0") != "0")
     grid = (tiles,)
     # Mosaic block rule: last two dims divisible by (8, 128) or equal to
     # the array dims -> give every per-tile operand a unit middle axis.
@@ -339,7 +363,8 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
     return tuple(x[:, 0, :] for x in out)
 
 
-def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False):
+def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
+                   front_sign=1.0):
     """Run the occlusion sweep kernel. Returns blocked i32[tiles, R]."""
     k = blocks_t.shape[2]
     cpi = max(1, LANES // k)
@@ -348,7 +373,8 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False):
     r = rays.shape[2]
     n_cols = cs // cpi
 
-    kern = functools.partial(_occl_kernel, cpi=cpi, k=k, n_cols=n_cols)
+    kern = functools.partial(_occl_kernel, cpi=cpi, k=k, n_cols=n_cols,
+                             front_sign=float(front_sign))
     vspec = lambda d2, d3: pl.BlockSpec(  # noqa: E731
         (1, d2, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sspec = lambda d3: pl.BlockSpec(  # noqa: E731

@@ -38,8 +38,9 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
 
-        def occluded_fn(o, d, t_max, primary=False):
-            return isect.occluded_brute(o, d, t_max, v0, v1, v2)
+        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
+            return isect.occluded_brute(o, d, t_max, v0, v1, v2,
+                                        front_sign=front_sign)
     elif cfg.intersector == "cluster":
         if scene.clusters is None:
             raise ValueError(
@@ -71,7 +72,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                                              sort_rays=sort_rays
                                              and not primary)
 
-        def occluded_fn(o, d, t_max, primary=False):
+        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
             # Bounce 0's shadow batch is fully live, so the dead-chunk
             # skip granule doesn't matter and the big sort pool wins
             # (occl 624 ms at 131k-ray chunks vs 763 at 32k; frame_ab +
@@ -84,10 +85,21 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             chunk = 131072 if primary else None
             a = accel_fine if os.environ.get(
                 "PT_OCCL_ACCEL") == "fine" else accel
+            # Reversed (light->surface) shadow rays: blockers sit near
+            # the RECEIVER end, so visit clusters far-to-near and key
+            # ray coherence on segment endpoints (A/B knobs).
+            rev = front_sign < 0
+            sched_far = rev and os.environ.get(
+                "PT_REV_SCHED", "far") == "far"
+            m_end = rev and os.environ.get(
+                "PT_REV_MORTON", "end") == "end"
             return packet.occluded_clusters(a, o, d, t_max,
                                             backend=backend,
                                             sort_rays=sort_rays,
-                                            chunk_rays=chunk)
+                                            chunk_rays=chunk,
+                                            front_sign=front_sign,
+                                            schedule_far=sched_far,
+                                            morton_end=m_end)
     else:
         if scene.bvh is None:
             raise ValueError(
@@ -99,8 +111,9 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return traverse.intersect_packed(packed, o, d, t_min, t_max)
 
-        def occluded_fn(o, d, t_max, primary=False):
-            return traverse.occluded_packed(packed, o, d, t_max)
+        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
+            return traverse.occluded_packed(packed, o, d, t_max,
+                                            front_sign=front_sign)
 
     return intersect_fn, occluded_fn
 
