@@ -265,7 +265,16 @@ def sponza_like(target_tris=262_000, seed=0, textured=False):
                 for ii in range(sub):
                     for jj in range(sub):
                         k = ii * (sub + 1) + jj
-                        if side == (axis != 1):
+                        # Outward winding. Triangle [k, k+1, k+sub+2] has
+                        # geometric normal -(e_a1 x e_a2), i.e. -x/-z for
+                        # axes 0/2 but +y for axis 1 (the (a1, a2) pairs
+                        # differ in handedness) -> use it on the LO side
+                        # for axes 0/2 and the HI side for axis 1. Round-2
+                        # fix: this rule was inverted, turning every box
+                        # inside-out (normals into the solid), which
+                        # silently killed all paths at bounce 1 (n.v <= 0
+                        # zeroes the BRDF) and zeroed NEE scene-wide.
+                        if side != (axis != 1):
                             idx += [[k, k + 1, k + sub + 2],
                                     [k, k + sub + 2, k + sub + 1]]
                         else:
@@ -296,7 +305,9 @@ def sponza_like(target_tris=262_000, seed=0, textured=False):
                 bb = s * segments + (k + 1) % segments
                 c = a + segments
                 dd = bb + segments
-                idx += [[a, bb, dd], [a, dd, c]]
+                # outward winding (t_theta x y_hat points INTO the
+                # cylinder, so [a, bb, dd] was inside-out - see add_box)
+                idx += [[a, dd, bb], [a, c, dd]]
         b.add_mesh(verts, np.array(idx, np.int64), mat,
                    uvs=np.array(uvs, np.float32),
                    tangents=np.array(tang, np.float32))
