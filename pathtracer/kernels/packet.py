@@ -56,10 +56,15 @@ def _pallas_interpret():
 TILE_RAYS = 64           # rays per tile (packet width; sweep optimum)
 # Tiles per chunked launch: the chunk is both the coherence-sort POOL
 # (bigger = tighter tiles on live rays) and the dead-lane SKIP GRANULE
-# (smaller = mostly-dead deep-bounce chunks skip cull+schedule+sweep via
-# chunk_live). Swept end-to-end on real frames (benchmarks/frame_ab.py):
-# the micro-optimum 2048 on fully-live batches LOSES on full frames.
-CHUNK_TILES = int(os.environ.get("PT_CHUNK_TILES", "512"))
+# (smaller = mostly-dead chunks skip cull+schedule+sweep via chunk_live).
+# On the TRUE multi-bounce workload (post sponza-winding fix, docs/PERF.md
+# 0.11) lanes stay live through depth 6, so the skip granule is worthless
+# and the sort pool is everything: 32k -> 131k -> 262k -> 524k -> whole-
+# wavefront measured 17.0 -> 12.5 -> 11.4 -> 10.1 -> 8.85 s/sample at
+# 1080p/262k (benchmarks/frame_ab.py). Default = one global chunk; the
+# pre-fix optimum 512 tiles was an artifact of bounce batches that were
+# a few-percent-live residue.
+CHUNK_TILES = int(os.environ.get("PT_CHUNK_TILES", "32768"))
 CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
 CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 

@@ -64,25 +64,31 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             # is already tighter than the coherence sort's bins: sorting
             # them measured 585 vs 534 ms unsorted at 1080p/262k. They
             # also traverse the median-split accel (tight boxes pay for
-            # coherent tiles: 602 -> 341 ms/sample), while bounce batches
-            # keep the Morton accel (docs/PERF.md round-2 log).
-            a = accel_fine if primary else accel
+            # coherent tiles: 602 -> 341 ms/sample). Bounce batches use
+            # the median accel too: on the TRUE multi-bounce workload
+            # (post winding fix) it measures 18.7 -> 17.0 s/sample - the
+            # old morton-for-bounce result was an artifact of nearly-dead
+            # bounce batches. PT_BOUNCE_ACCEL=morton reverts; shadow
+            # rays stay on the Morton accel (its A/B still favors it).
+            import os
+
+            a = accel if (not primary and os.environ.get(
+                "PT_BOUNCE_ACCEL") == "morton") else accel_fine
             return packet.intersect_clusters(a, o, d, t_min, t_max,
                                              backend=backend,
                                              sort_rays=sort_rays
                                              and not primary)
 
         def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
-            # Bounce 0's shadow batch is fully live, so the dead-chunk
-            # skip granule doesn't matter and the big sort pool wins
-            # (occl 624 ms at 131k-ray chunks vs 763 at 32k; frame_ab +
-            # chunk_sweep, docs/PERF.md round-2 log). Deeper bounces keep
-            # the default chunk for fine-grained dead skipping.
-            # PT_OCCL_ACCEL=fine routes shadow rays through the
-            # median-split accel (A/B knob; see frame_ab.py).
+            # The default chunk is now the whole wavefront (global sort
+            # pool - see kernels/packet.CHUNK_TILES), so the old 131k
+            # special case for bounce 0's fully-live shadow batch is
+            # subsumed. PT_OCCL_ACCEL=fine routes shadow rays through
+            # the median-split accel (A/B knob; Morton measured better:
+            # 18.7 vs 19.3 s/sample post-fix).
             import os
 
-            chunk = 131072 if primary else None
+            chunk = None
             a = accel_fine if os.environ.get(
                 "PT_OCCL_ACCEL") == "fine" else accel
             # Reversed (light->surface) shadow rays: blockers sit near
