@@ -53,7 +53,9 @@ def _pallas_interpret():
 
     return jax.devices()[0].platform not in ("tpu", "axon")
 
-TILE_RAYS = 64           # rays per tile (packet width; sweep optimum)
+TILE_RAYS = int(os.environ.get("PT_TILE_RAYS", "64"))
+# rays per tile (packet width): 64 = 8x8 pixel squares for the swizzled
+# primary trace; swept on hardware (A/B via PT_TILE_RAYS).
 # Tiles per chunked launch: the chunk is both the coherence-sort POOL
 # (bigger = tighter tiles on live rays) and the dead-lane SKIP GRANULE
 # (smaller = mostly-dead chunks skip cull+schedule+sweep via chunk_live).

@@ -13,9 +13,10 @@ Kernel layout per grid step (= one tile of R rays):
   rays   f32[6, R]    VMEM  (ox oy oz dx dy dz - components on sublanes)
   st     f32[1, Cs]   VMEM  per-tile near-to-far schedule entry distances
   si     i32[1, Cs]   VMEM  matching cluster ids
-  blocks f32[C,12,K]  ANY   component-major triangle blocks, DMA'd
+  blocks f32[C,16,K]  ANY   component-major Baldwin-Weber triangle
+                            blocks (accel/cluster._finish_build), DMA'd
                             CPI=128/K clusters per iteration into a
-                            double-buffered [12, 128] VMEM scratch
+                            prefetch-ring [16, 128] VMEM scratch
   out    best (t, u, v, tri) f32/i32 [1, R]
 
 The in-kernel loop is a lax.while_loop whose carry is (column, live
@@ -42,11 +43,16 @@ SLOTS = 4                # DMA prefetch ring depth (measured perf-neutral
                          # hides fetch latency for larger blocks)
 
 
-def _mt_lane(block, rays, t_min, best_t):
-    """Dense MT: block f32[12, L], rays f32[6, R] -> per-(ray, tri) t/u/v.
+def _bw_lane(block, rays, t_min, best_t):
+    """Dense Baldwin-Weber test: block f32[16, L], rays f32[6, R].
 
-    Returns (t, u, v) each f32[R, L]; t = +inf where no valid hit.
-    block rows: v0(3), e1(3), e2(3), id+1, pad, pad.
+    Returns (t, u, v, denom) each f32[R, L]; t = +inf where no valid hit.
+    Block rows (accel/cluster._finish_build): n(3), d(1), r1(3), c1(1),
+    r2(3), c2(1), id+1, pad(3). denom = n . dir equals the classic MT
+    determinant (n = e1 x e2), so DET_EPS semantics are unchanged, and
+    its sign gives the facing test for free (front = denom < 0).
+    ~46 VPU ops/pair vs ~59 for inline MT: the two cross products move
+    to build time as the precomputed barycentric rows r1/r2.
     """
     r = rays.shape[1]
 
@@ -58,30 +64,23 @@ def _mt_lane(block, rays, t_min, best_t):
 
     ox, oy, oz = rcomp(0), rcomp(1), rcomp(2)
     dx, dy, dz = rcomp(3), rcomp(4), rcomp(5)
-    v0x, v0y, v0z = tcomp(0), tcomp(1), tcomp(2)
-    e1x, e1y, e1z = tcomp(3), tcomp(4), tcomp(5)
-    e2x, e2y, e2z = tcomp(6), tcomp(7), tcomp(8)
+    nx, ny, nz = tcomp(0), tcomp(1), tcomp(2)
+    dpl = tcomp(3)
+    r1x, r1y, r1z, c1 = tcomp(4), tcomp(5), tcomp(6), tcomp(7)
+    r2x, r2y, r2z, c2 = tcomp(8), tcomp(9), tcomp(10), tcomp(11)
 
-    # pvec = d x e2
-    px = dy * e2z - dz * e2y
-    py = dz * e2x - dx * e2z
-    pz = dx * e2y - dy * e2x
-    det = e1x * px + e1y * py + e1z * pz
-    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
-    tx = ox - v0x
-    ty = oy - v0y
-    tz = oz - v0z
-    u = (tx * px + ty * py + tz * pz) * inv_det
-    # qvec = tvec x e1
-    qx = ty * e1z - tz * e1y
-    qy = tz * e1x - tx * e1z
-    qz = tx * e1y - ty * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-    ok = ((jnp.abs(det) > DET_EPS)
+    denom = dx * nx + dy * ny + dz * nz
+    inv = jnp.where(jnp.abs(denom) > DET_EPS, 1.0 / denom, 0.0)
+    t = (dpl - (ox * nx + oy * ny + oz * nz)) * inv
+    hx = ox + t * dx
+    hy = oy + t * dy
+    hz = oz + t * dz
+    u = r1x * hx + r1y * hy + r1z * hz + c1
+    v = r2x * hx + r2y * hy + r2z * hz + c2
+    ok = ((jnp.abs(denom) > DET_EPS)
           & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t > t_min) & (t < best_t))
-    return jnp.where(ok, t, jnp.inf), u, v
+    return jnp.where(ok, t, jnp.inf), u, v, denom
 
 
 def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
@@ -119,7 +118,7 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
             def _(c0=c0):
                 start_dma(c0 % SLOTS, c0)
 
-    tid_row = 9  # block row holding tri-id bits
+    tid_row = 12  # block row holding tri-id (+1, as a float value)
 
     def cond(carry):
         col, best_t, best_tri, best_u, best_v, max_best = carry
@@ -139,7 +138,7 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
         wait_dma(slot)
         block = scratch[slot]
-        t, u, v = _mt_lane(block, rays, t_min, best_t)
+        t, u, v, _ = _bw_lane(block, rays, t_min, best_t)
         # id+1 as float value (accel/cluster.py: denormal-flush hazard)
         tid = jnp.round(block[tid_row, :].reshape(1, -1)).astype(jnp.int32)             - 1
 
@@ -254,22 +253,12 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
 
         wait_dma(slot)
         block = scratch[slot]
-        t, u, v = _mt_lane(block, rays, 0.0, jnp.inf)
-
-        def tcomp(i):
-            return block[i, :].reshape(1, -1)
-
-        dx = rays[3, :].reshape(r, 1)
-        dy = rays[4, :].reshape(r, 1)
-        dz = rays[5, :].reshape(r, 1)
-        e1x, e1y, e1z = tcomp(3), tcomp(4), tcomp(5)
-        e2x, e2y, e2z = tcomp(6), tcomp(7), tcomp(8)
-        gnx = e1y * e2z - e1z * e2y
-        gny = e1z * e2x - e1x * e2z
-        gnz = e1x * e2y - e1y * e2x
-        # front_sign = -1.0 flips the facing test for REVERSED shadow rays
-        # (light -> surface); see kernels/packet._mt_any_front.
-        front = front_sign * (dx * gnx + dy * gny + dz * gnz) < 0.0
+        t, u, v, denom = _bw_lane(block, rays, 0.0, jnp.inf)
+        # denom = dir . (e1 x e2): its sign IS the facing test - no
+        # geometric-normal recompute. front_sign = -1.0 flips the
+        # convention for REVERSED shadow rays (light -> surface); see
+        # kernels/packet._mt_any_front.
+        front = front_sign * denom < 0.0
         hit = jnp.isfinite(t) & front & (t < t_max)
         # blocked is carried as i32: i1 vectors in while-carries fail to
         # legalize in Mosaic
@@ -312,7 +301,7 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
 
     st: f32[tiles, Cs] sorted schedule distances (inf-padded, Cs % cpi == 0)
     si: i32[tiles, Cs] matching cluster ids (pads clamped to 0)
-    rays: f32[tiles, 6, R]; blocks_t: f32[C, 12, K].
+    rays: f32[tiles, 6, R]; blocks_t: f32[C, 16, K] (Baldwin-Weber rows).
     Returns (t, tri, u, v) each [tiles, R].
     """
     k = blocks_t.shape[2]
