@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 _MANAGED = ["PT_SWEEP_GATE", "PT_OCCL_DB", "PT_CLOSEST_DB",
             "PT_OCCL_ACCEL", "PT_SKIP_NEE", "PT_DIR_BITS",
-            "PT_REV_SCHED", "PT_REV_MORTON", "PT_BOUNCE_ACCEL"]
+            "PT_REV_SCHED", "PT_REV_MORTON", "PT_BOUNCE_ACCEL",
+            "PT_TWO_PHASE", "PT_TILE_RAYS"]
 
 
 def main():

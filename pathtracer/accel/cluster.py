@@ -259,7 +259,7 @@ def _finish_build(sv0, sv1, sv2, sid, k, pad, t) -> ClusterAccel:
                         blocks_t=bt)
 
 
-def build_scene_clusters(scene: Scene, max_clusters: int = 512,
+def build_scene_clusters(scene: Scene, max_clusters: int = 2048,
                          method: str = "morton") -> Scene:
     """Attach the packet-traversal accels to the scene.
 

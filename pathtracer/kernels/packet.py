@@ -353,8 +353,14 @@ def _unsort_hit(t, tri, u, v, n, inv):
         u=packed[:, 2], v=packed[:, 3])
 
 
-def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
-                     tile_rays, cpi, cull, backend="xla", dir_bits=None):
+def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
+                     tile_rays, cpi, cull, backend="xla", dir_bits=None,
+                     cull_t_min=None):
+    # cull_t_min: lower bound for the CULL's segment test only (two-phase
+    # traversal: phase 2 skips clusters entirely inside the phase-1
+    # window); MT keeps the true t_min.
+    seg_min = t_min if cull_t_min is None else cull_t_min
+
     def run(rays):
         # Static-shape stream compaction, chunk level: when the integrator
         # compacts dead lanes to the wavefront tail (path.py wavefront_sort),
@@ -368,20 +374,23 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
         return jax.lax.cond(chunk_live(rays[0]), _run_live, dead, rays)
 
     def _run_live(rays):
-        o_in, d_in = rays
+        o_in, d_in, tmax_in = rays
         n = o_in.shape[0]
         n_tiles = n // tile_rays
         ref = o_in[..., 0] + d_in[..., 0]
 
         if sort_rays:
             order, inv = _coherence_order(accel, o_in, d_in, dir_bits)
-            o = o_in[order]
-            d = d_in[order]
+            odt = jnp.concatenate(
+                [o_in, d_in, tmax_in[:, None]], axis=1)[order]
+            o = odt[:, 0:3]
+            d = odt[:, 3:6]
+            t_max = odt[:, 6]
         else:
-            o, d = o_in, d_in
+            o, d, t_max = o_in, d_in, tmax_in
 
         cull_fn = _frustum_cull if cull == "frustum" else _tile_cull
-        tile_tnear = cull_fn(accel, o, d, t_min, t_max, n_tiles,
+        tile_tnear = cull_fn(accel, o, d, seg_min, t_max, n_tiles,
                              tile_rays)
         ot = o.reshape(n_tiles, tile_rays, 3)
         dt = d.reshape(n_tiles, tile_rays, 3)
@@ -395,8 +404,10 @@ def _intersect_chunk(accel: ClusterAccel, t_min, t_max, sort_rays,
             p_cpi = max(1, pallas_sweep.LANES // k)
             st, si = _sorted_schedule(tile_tnear, p_cpi)
             rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
+            # per-ray t_max already rides in t_cap; the kernel-constant
+            # t_max is unused by the sweep (best_t starts at t_cap)
             t, tri, u, v = pallas_sweep.sweep_closest(
-                st, si, rays6, t_cap, accel.blocks_t, t_min, t_max,
+                st, si, rays6, t_cap, accel.blocks_t, t_min, 1e30,
                 interpret=_pallas_interpret())
             t = jnp.where(tri >= 0, t, jnp.inf)
             return _unsort_hit(t, tri, u, v, n, inv if sort_rays else None)
@@ -573,17 +584,68 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
                        sort_rays: bool = True, tile_rays: int = None,
                        cpi: int = None, chunk_rays: int = None,
                        cull: str = "ray", backend: str = "xla",
-                       dir_bits: int = None) -> Hit:
-    """Closest hit of rays o/d [N,3] via packet traversal."""
+                       dir_bits: int = None, cull_t_min=None) -> Hit:
+    """Closest hit of rays o/d [N,3] via packet traversal.
+
+    t_max may be a scalar or per-ray [N] (two-phase traversal passes the
+    phase-1 resolution as a per-ray cap). cull_t_min tightens only the
+    cull's segment lower bound (see _intersect_chunk).
+    """
     if dir_bits is None:
-        dir_bits = int(os.environ.get("PT_CLOSEST_DB", "2"))
+        # 3 bits/axis with the fine (K=128) default clusters: tight cull
+        # bounds make tile direction-tightness pay (docs/PERF.md 0.18;
+        # at K=512 db=3 lost 2x - re-sweep if cluster granularity moves).
+        dir_bits = int(os.environ.get("PT_CLOSEST_DB", "3"))
     tile_rays = tile_rays or TILE_RAYS
     cpi = cpi or CLUSTERS_PER_ITER
     chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
     return _chunk_map(
-        _intersect_chunk(accel, t_min, t_max, sort_rays, tile_rays, cpi,
-                         cull, backend, dir_bits),
-        (o, d), o.shape[0], tile_rays, chunk_rays)
+        _intersect_chunk(accel, t_min, sort_rays, tile_rays, cpi,
+                         cull, backend, dir_bits, cull_t_min),
+        (o, d, t_max), o.shape[0], tile_rays, chunk_rays)
+
+
+def intersect_clusters_two_phase(accel: ClusterAccel, o, d, t_min, t_max,
+                                 window: float, **kw) -> Hit:
+    """Windowed two-phase closest hit: short segments first (docs 0.15).
+
+    Phase 1 traces every ray only over [t_min, window]: per-ray culls see
+    short segments, so tile schedules shrink to the contact neighborhood
+    (most interior hits are near). Rays that either hit within the window
+    or exit the scene before it are RESOLVED; the rest - the escape rays
+    whose long segments union half the scene - are re-sorted among
+    themselves and traced over [window, t_max] with the cull's segment
+    lower bound raised (clusters inside the window are skipped).
+
+    Exact: a hit with t <= window lies in a cluster whose AABB overlaps
+    the phase-1 segment, so phase 1 finds it; phase-1 hits BEYOND the
+    window are discarded (their closest status is unproven) and re-found
+    by phase 2.
+    """
+    n = o.shape[0]
+    t_max_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    w = jnp.float32(window)
+
+    hit1 = intersect_clusters(accel, o, d, t_min,
+                              jnp.minimum(t_max_r, w), **kw)
+    found = (hit1.tri >= 0) & (hit1.t <= w)
+    cap = _scene_exit(accel, o, d, t_max_r)
+    resolved = found | (cap <= w) | (o[:, 0] >= 1e29)
+
+    live2 = ~resolved
+    o2 = jnp.where(live2[:, None], o, _PARK)
+    d2 = jnp.where(live2[:, None], d, jnp.float32(_PAD_VALUES[1]))
+    tm2 = jnp.where(live2, t_max_r, 0.0)
+    hit2 = intersect_clusters(accel, o2, d2, t_min, tm2,
+                              cull_t_min=w * (1.0 - 1e-3), **kw)
+
+    pick1 = found
+    return Hit(
+        t=jnp.where(pick1, hit1.t, hit2.t),
+        tri=jnp.where(pick1, hit1.tri, hit2.tri),
+        u=jnp.where(pick1, hit1.u, hit2.u),
+        v=jnp.where(pick1, hit1.v, hit2.v))
 
 
 def occluded_clusters(accel: ClusterAccel, o, d, t_max,

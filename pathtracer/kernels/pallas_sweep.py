@@ -282,6 +282,25 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
     out_ref[0, 0, :] = blocked[:, 0]
 
 
+def _cpi_mult(k: int) -> int:
+    """Clusters tested per while-loop iteration (as a multiplier).
+
+    The per-iteration fixed cost (loop branch + DMA semaphore ops + SMEM
+    schedule read) is first-order on v5e (docs/PERF.md 0.16/0.18), so
+    each body tests ~1536 triangles' worth of clusters at the price of a
+    coarser early-exit granule. Swept on the true headline frame: at
+    K=128 the curve is 3:7280 / 8:5891 / 12:5855 / 16:6077 ms-sample,
+    at K=512 2:6891 / 3:6789 / 4:7078 - both consistent with a ~1536
+    tris/iteration optimum. PT_SWEEP_CPI overrides.
+    """
+    import os
+
+    env = os.environ.get("PT_SWEEP_CPI")
+    if env:
+        return int(env)
+    return max(1, 1536 // max(k, LANES))
+
+
 def _pad_cols(st, si, cpi):
     """Pad the schedule's column axis to a multiple of lcm(cpi, 128)."""
     tiles, cs = st.shape
@@ -304,14 +323,14 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
     rays: f32[tiles, 6, R]; blocks_t: f32[C, 16, K] (Baldwin-Weber rows).
     Returns (t, tri, u, v) each [tiles, R].
     """
+    import os
+
     k = blocks_t.shape[2]
-    cpi = max(1, LANES // k)
+    cpi = max(1, LANES // k) * _cpi_mult(k)
     st, si = _pad_cols(st, si, cpi)
     tiles, cs = st.shape
     r = rays.shape[2]
     n_cols = cs // cpi
-
-    import os
 
     # Extraction gating defaults ON: on the true multi-bounce headline
     # (post winding fix) it measures 22.1 -> 18.7 s/sample - deep-bounce
@@ -360,7 +379,7 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
                    front_sign=1.0):
     """Run the occlusion sweep kernel. Returns blocked i32[tiles, R]."""
     k = blocks_t.shape[2]
-    cpi = max(1, LANES // k)
+    cpi = max(1, LANES // k) * _cpi_mult(k)
     st, si = _pad_cols(st, si, cpi)
     tiles, cs = st.shape
     r = rays.shape[2]

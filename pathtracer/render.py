@@ -74,6 +74,21 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
 
             a = accel if (not primary and os.environ.get(
                 "PT_BOUNCE_ACCEL") == "morton") else accel_fine
+            # Two-phase windowed traversal for incoherent bounce batches
+            # (PT_TWO_PHASE = window as a fraction of the scene diagonal,
+            # kernels/packet.intersect_clusters_two_phase): short contact
+            # segments first, escape rays re-sorted into a second pass.
+            frac = float(os.environ.get("PT_TWO_PHASE", "0") or 0)
+            if frac > 0 and not primary:
+                finite = a.aabb_lo[:, 0] < 1e29
+                lo = jnp.min(jnp.where(finite[:, None], a.aabb_lo,
+                                       jnp.inf), axis=0)
+                hi = jnp.max(jnp.where(finite[:, None], a.aabb_hi,
+                                       -jnp.inf), axis=0)
+                diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
+                return packet.intersect_clusters_two_phase(
+                    a, o, d, t_min, t_max, diag * frac,
+                    backend=backend, sort_rays=sort_rays)
             return packet.intersect_clusters(a, o, d, t_min, t_max,
                                              backend=backend,
                                              sort_rays=sort_rays

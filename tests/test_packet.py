@@ -124,3 +124,47 @@ def test_cluster_methods_partition_and_agree():
         np.testing.assert_allclose(np.asarray(hit.t)[m],
                                    np.asarray(ref.t)[m],
                                    rtol=1e-5, err_msg=method)
+
+
+def test_two_phase_matches_single_phase(random_tri_soup, random_rays):
+    """Windowed two-phase traversal is exact at any window size."""
+    from pathtracer.kernels.packet import intersect_clusters_two_phase
+
+    v0, v1, v2 = random_tri_soup
+    o, d = random_rays
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1),
+                           jnp.asarray(v2), max_clusters=16)
+    hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
+                         jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
+    for w in (0.05, 0.5, 2.0, 100.0):
+        hp = intersect_clusters_two_phase(
+            accel, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e20, w)
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hr.tri))
+        both = np.asarray(hp.tri) >= 0
+        np.testing.assert_allclose(np.asarray(hp.t)[both],
+                                   np.asarray(hr.t)[both],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_per_ray_tmax():
+    """intersect_clusters honors a per-ray t_max cap."""
+    rng = np.random.default_rng(3)
+    v0 = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-0.3, 0.3, (64, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-0.3, 0.3, (64, 3)).astype(np.float32)
+    o = rng.uniform(-2, 2, (128, 3)).astype(np.float32)
+    d = rng.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1),
+                           jnp.asarray(v2), max_clusters=4)
+    full = intersect_clusters(accel, jnp.asarray(o), jnp.asarray(d),
+                              1e-3, 1e20)
+    tmax = np.where(np.arange(128) % 2 == 0, 1e20, 1e-2).astype(np.float32)
+    capped = intersect_clusters(accel, jnp.asarray(o), jnp.asarray(d),
+                                1e-3, jnp.asarray(tmax))
+    ft = np.asarray(full.t)
+    ct = np.asarray(capped.tri)
+    # even lanes unchanged; odd lanes only report hits below their cap
+    np.testing.assert_array_equal(ct[::2], np.asarray(full.tri)[::2])
+    odd_hits = ct[1::2] >= 0
+    assert np.all(ft[1::2][odd_hits] <= 1e-2 * 1.0002)
