@@ -7,11 +7,14 @@ is ~1000x slower than dense VPU testing, so ALL control flow here is
 per-TILE (a tile = TILE_RAYS consecutive rays), amortizing every irregular
 access over the whole tile:
 
-1. **Coherence sort** - each chunk's rays are sorted by direction octant +
-   origin Morton code so that a tile's rays want the same clusters. Sorting
-   and the permute/unpermute gathers all act on chunk-local (small) tables,
-   the fast-gather regime. Primary rays additionally arrive in swizzled
-   pixel-block order (render.py).
+1. **Coherence sort** - rays are sorted by direction bin + origin Morton
+   code over the WHOLE wavefront so that a tile's rays want the same
+   clusters; launches then proceed in chunks, and because dead lanes sort
+   to the tail, fully-dead tail chunks skip entirely (the sort pool and
+   the skip granule are decoupled). The sort/permute move only the
+   [n, 7] ray arrays, never integrator state (docs/PERF.md 0.2/0.19).
+   Primary rays instead arrive unsorted in swizzled pixel-block order
+   (render.py) - already tighter than any key.
 2. **Dense cull** - slab-test every ray against every cluster AABB
    ([N, C] at ~256 Gtests/s), reduced on the fly to a per-tile matrix
    `tile_tnear[tiles, C]` = min entry distance over the tile's rays that
@@ -56,17 +59,16 @@ def _pallas_interpret():
 TILE_RAYS = int(os.environ.get("PT_TILE_RAYS", "64"))
 # rays per tile (packet width): 64 = 8x8 pixel squares for the swizzled
 # primary trace; swept on hardware (A/B via PT_TILE_RAYS).
-# Tiles per chunked launch: the chunk is both the coherence-sort POOL
-# (bigger = tighter tiles on live rays) and the dead-lane SKIP GRANULE
-# (smaller = mostly-dead chunks skip cull+schedule+sweep via chunk_live).
-# On the TRUE multi-bounce workload (post sponza-winding fix, docs/PERF.md
-# 0.11) lanes stay live through depth 6, so the skip granule is worthless
-# and the sort pool is everything: 32k -> 131k -> 262k -> 524k -> whole-
-# wavefront measured 17.0 -> 12.5 -> 11.4 -> 10.1 -> 8.85 s/sample at
-# 1080p/262k (benchmarks/frame_ab.py). Default = one global chunk; the
-# pre-fix optimum 512 tiles was an artifact of bounce batches that were
-# a few-percent-live residue.
-CHUNK_TILES = int(os.environ.get("PT_CHUNK_TILES", "32768"))
+# Tiles per chunked launch. The coherence sort runs over the WHOLE
+# wavefront (the sort pool is decoupled from the launch granule - see
+# intersect_clusters), so the chunk is only the dead-lane SKIP GRANULE:
+# after the global sort parks dead lanes at the tail, fully-dead tail
+# chunks skip cull+schedule+sweep via the chunk_live lax.cond. Small
+# scenes with high lane mortality (closed boxes + RR) want this
+# (materials config: 4.9 -> 6.5 Mrays/s), and even the live multi-bounce
+# headline prefers 131k-ray launches to one global launch (4969 vs 5714
+# ms/sample - docs/PERF.md 0.19).
+CHUNK_TILES = int(os.environ.get("PT_CHUNK_TILES", "2048"))
 CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
 CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 
@@ -599,11 +601,26 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
     tile_rays = tile_rays or TILE_RAYS
     cpi = cpi or CLUSTERS_PER_ITER
     chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
+    n = o.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    return _chunk_map(
+    # Global coherence sort, chunked launches: the sort POOL (tile
+    # quality) is the whole wavefront while the lax.map chunk stays the
+    # dead-lane skip granule - the global sort parks dead lanes at the
+    # tail, so fully-dead tail chunks skip via chunk_live (docs/PERF.md
+    # 0.19). Only pays when the wavefront actually splits into chunks.
+    inv = None
+    if sort_rays and n > chunk_rays:
+        order, inv = _coherence_order(accel, o, d, dir_bits)
+        odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
+        o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
+        sort_rays = False
+    hit = _chunk_map(
         _intersect_chunk(accel, t_min, sort_rays, tile_rays, cpi,
                          cull, backend, dir_bits, cull_t_min),
-        (o, d, t_max), o.shape[0], tile_rays, chunk_rays)
+        (o, d, t_max), n, tile_rays, chunk_rays)
+    if inv is None:
+        return hit
+    return _unsort_hit(hit.t, hit.tri, hit.u, hit.v, n, inv)
 
 
 def intersect_clusters_two_phase(accel: ClusterAccel, o, d, t_min, t_max,
@@ -666,8 +683,20 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
     tile_rays = tile_rays or TILE_RAYS
     cpi = cpi or CLUSTERS_PER_ITER
     chunk_rays = chunk_rays or CHUNK_TILES * TILE_RAYS
+    n = o.shape[0]
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    return _chunk_map(
+    # global sort pool + chunked skip granule (see intersect_clusters)
+    inv = None
+    if sort_rays and n > chunk_rays:
+        o_key = (o + d * t_max[:, None]) if morton_end else o
+        order, inv = _coherence_order(accel, o_key, d, dir_bits)
+        odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
+        o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
+        sort_rays = False
+    blocked = _chunk_map(
         _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend,
                         dir_bits, front_sign, schedule_far, morton_end),
-        (o, d, t_max), o.shape[0], tile_rays, chunk_rays)
+        (o, d, t_max), n, tile_rays, chunk_rays)
+    if inv is None:
+        return blocked
+    return blocked[inv]

@@ -282,7 +282,7 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
     out_ref[0, 0, :] = blocked[:, 0]
 
 
-def _cpi_mult(k: int) -> int:
+def _cpi_mult(k: int, c: int) -> int:
     """Clusters tested per while-loop iteration (as a multiplier).
 
     The per-iteration fixed cost (loop branch + DMA semaphore ops + SMEM
@@ -291,20 +291,31 @@ def _cpi_mult(k: int) -> int:
     coarser early-exit granule. Swept on the true headline frame: at
     K=128 the curve is 3:7280 / 8:5891 / 12:5855 / 16:6077 ms-sample,
     at K=512 2:6891 / 3:6789 / 4:7078 - both consistent with a ~1536
-    tris/iteration optimum. PT_SWEEP_CPI overrides.
+    tris/iteration optimum. Small scenes cap at ~C/4 clusters per body
+    so the early exit keeps at least a few granules (a 21-cluster
+    materials scene regressed 25% testing 12 clusters/iteration).
+    PT_SWEEP_CPI overrides.
     """
     import os
 
     env = os.environ.get("PT_SWEEP_CPI")
     if env:
         return int(env)
-    return max(1, 1536 // max(k, LANES))
+    return max(1, min(1536 // max(k, LANES), c // 4))
 
 
 def _pad_cols(st, si, cpi):
-    """Pad the schedule's column axis to a multiple of lcm(cpi, 128)."""
+    """Pad the schedule's column axis to a multiple of lcm(cpi, 128).
+
+    Must be a multiple of BOTH: Mosaic wants 128-aligned SMEM blocks, and
+    n_cols = cs // cpi floors - a max() here silently dropped the tail
+    schedule entries for cpi values that don't divide 128 (found when
+    cpi=12 shifted the headline image mean).
+    """
+    import math
+
     tiles, cs = st.shape
-    mult = max(cpi, LANES)
+    mult = cpi * LANES // math.gcd(cpi, LANES)
     pad = (-cs) % mult
     if pad:
         st = jnp.concatenate(
@@ -326,7 +337,7 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
     import os
 
     k = blocks_t.shape[2]
-    cpi = max(1, LANES // k) * _cpi_mult(k)
+    cpi = max(1, LANES // k) * _cpi_mult(k, blocks_t.shape[0])
     st, si = _pad_cols(st, si, cpi)
     tiles, cs = st.shape
     r = rays.shape[2]
@@ -379,7 +390,7 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
                    front_sign=1.0):
     """Run the occlusion sweep kernel. Returns blocked i32[tiles, R]."""
     k = blocks_t.shape[2]
-    cpi = max(1, LANES // k) * _cpi_mult(k)
+    cpi = max(1, LANES // k) * _cpi_mult(k, blocks_t.shape[0])
     st, si = _pad_cols(st, si, cpi)
     tiles, cs = st.shape
     r = rays.shape[2]

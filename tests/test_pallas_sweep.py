@@ -70,3 +70,56 @@ def test_pallas_ragged_and_tiny():
         hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
                              jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
         np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hr.tri))
+
+
+def test_pallas_cpi_not_dividing_128_keeps_tail(monkeypatch):
+    """cpi values that don't divide 128 must not drop tail schedule entries.
+
+    Regression: _pad_cols padded to max(cpi, 128) instead of lcm(cpi, 128),
+    so with cpi=12 only floor(128/12)*12 = 120 of 125 schedule columns were
+    visited - silently missed intersections on schedule-heavy tiles. The
+    scene threads rays through 128 ring-shaped clusters (no hit, so no
+    early exit) to a wall that only the farthest schedule entry holds.
+    """
+    monkeypatch.setenv("PT_SWEEP_CPI", "12")
+    rng = np.random.default_rng(11)
+    slabs, per = 128, 128          # -> K=128, C=128 clusters
+    v0l, v1l, v2l = [], [], []
+    for i in range(slabs):
+        n = per
+        if i == slabs - 1:
+            # far wall covering the corridor axis
+            v0l.append([[float(i), -2.0, -2.0]])
+            v1l.append([[float(i), 4.0, -2.0]])
+            v2l.append([[float(i), -2.0, 4.0]])
+            n -= 1
+        # ring triangles that never cover the (y,z)=(0,0) corridor
+        ang = rng.uniform(0, 2 * np.pi, n)
+        rad = rng.uniform(0.25, 0.5, n)  # small rings: x stays the
+        # longest axis at every median level -> slab-aligned clusters
+        cy, cz = rad * np.cos(ang), rad * np.sin(ang)
+        x = np.full(n, float(i)) + rng.uniform(-0.1, 0.1, n)
+        a = np.stack([x, cy, cz], 1)
+        v0l.append(a)
+        v1l.append(a + rng.uniform(0.01, 0.1, (n, 3)) * [0, 1, 0])
+        v2l.append(a + rng.uniform(0.01, 0.1, (n, 3)) * [0, 0, 1])
+    v0 = np.concatenate(v0l).astype(np.float32)
+    v1 = np.concatenate(v1l).astype(np.float32)
+    v2 = np.concatenate(v2l).astype(np.float32)
+    # one tile of near-axis rays marching down the corridor
+    o = np.zeros((64, 3), np.float32)
+    o[:, 0] = -2.0
+    o[:, 1:] = rng.uniform(-0.05, 0.05, (64, 2))
+    d = np.tile(np.float32([1.0, 0.0, 0.0]), (64, 1))
+    # median splits along the (dominant) x axis keep slabs contiguous, so
+    # every cluster is a full ring containing the corridor axis and the
+    # tile's schedule holds all ~125 entries
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                           max_clusters=128, method="median")
+    assert accel.n_clusters >= 121
+    hp = intersect_clusters(accel, jnp.asarray(o), jnp.asarray(d), 1e-3,
+                            1e20, backend="pallas")
+    hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
+                         jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
+    assert (np.asarray(hr.tri) >= 0).all()   # every ray hits the far wall
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hr.tri))
