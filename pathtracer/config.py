@@ -107,6 +107,14 @@ class RenderConfig:
     # reference_quirks mode (the quirk scheme aims behind the light).
     shadow_from_light: bool = False
 
+    # Windowed two-phase traversal for bounce rays: phase 1 traces only
+    # [t_min, w * scene_diagonal]; escape rays re-sort among themselves
+    # and trace the remainder (kernels/packet.intersect_clusters_two_
+    # phase; exact at any window). Measured ~neutral on the headline
+    # (-1.5% at w=0.2, docs/PERF.md 0.17) - kept as an option for
+    # contact-heavy scenes. 0 = off. PT_TWO_PHASE env overrides.
+    two_phase_window: float = 0.0
+
     # Stochastic bilinear texture filtering: jitter the texel coordinate
     # by a per-(lane, bounce) uniform and take ONE tap whose expectation
     # is the bilinear kernel, instead of 4 deterministic taps. Texture

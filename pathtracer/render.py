@@ -75,10 +75,12 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             a = accel if (not primary and os.environ.get(
                 "PT_BOUNCE_ACCEL") == "morton") else accel_fine
             # Two-phase windowed traversal for incoherent bounce batches
-            # (PT_TWO_PHASE = window as a fraction of the scene diagonal,
-            # kernels/packet.intersect_clusters_two_phase): short contact
-            # segments first, escape rays re-sorted into a second pass.
-            frac = float(os.environ.get("PT_TWO_PHASE", "0") or 0)
+            # (cfg.two_phase_window = window as a fraction of the scene
+            # diagonal, kernels/packet.intersect_clusters_two_phase):
+            # short contact segments first, escape rays re-sorted into a
+            # second pass. PT_TWO_PHASE env overrides for A/Bs.
+            frac = float(os.environ.get("PT_TWO_PHASE",
+                                        str(cfg.two_phase_window)) or 0)
             if frac > 0 and not primary:
                 finite = a.aabb_lo[:, 0] < 1e29
                 lo = jnp.min(jnp.where(finite[:, None], a.aabb_lo,

@@ -168,3 +168,32 @@ def test_per_ray_tmax():
     np.testing.assert_array_equal(ct[::2], np.asarray(full.tri)[::2])
     odd_hits = ct[1::2] >= 0
     assert np.all(ft[1::2][odd_hits] <= 1e-2 * 1.0002)
+
+
+def test_global_sort_chunked_launches(random_tri_soup, random_rays):
+    """Wavefronts bigger than one chunk: global sort + chunked launches.
+
+    Forces the n > chunk_rays path (global coherence sort, lax.map over
+    chunks, inverse permute at the end) with a tiny chunk size and checks
+    exactness for both closest-hit and occlusion against the unchunked
+    result and the brute oracle.
+    """
+    v0, v1, v2 = random_tri_soup
+    o, d = random_rays
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                           max_clusters=16)
+    hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
+                         jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
+    hc = intersect_clusters(accel, jnp.asarray(o), jnp.asarray(d), 1e-3,
+                            1e20, chunk_rays=128, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(hc.tri), np.asarray(hr.tri))
+    both = np.asarray(hc.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hc.t)[both], np.asarray(hr.t)[both],
+                               rtol=1e-4, atol=1e-5)
+    t_max = jnp.full(len(o), 2.0, jnp.float32)
+    ob = np.asarray(occluded_brute(jnp.asarray(o), jnp.asarray(d), t_max,
+                                   jnp.asarray(v0), jnp.asarray(v1),
+                                   jnp.asarray(v2)))
+    oc = np.asarray(occluded_clusters(accel, jnp.asarray(o), jnp.asarray(d),
+                                      t_max, chunk_rays=128, sort_rays=True))
+    np.testing.assert_array_equal(oc, ob)
