@@ -6,7 +6,8 @@ lanes whose skipping granularity is the chunk. This sweeps the real
 render_sample at 1080p/262k to pick production defaults.
 
 Usage: GRID="512:2,512:3,2048:2,2048:3" python benchmarks/frame_ab.py
-(each entry = CHUNK_TILES:closest_dir_bits; occl dir_bits fixed at 2)
+(each entry = CHUNK_TILES:closest_dir_bits[:sweep_cpi]; occl dir_bits
+fixed at 2; sweep_cpi sets PT_SWEEP_CPI, omit for the default)
 """
 
 import importlib
@@ -44,9 +45,14 @@ def main():
                        intersector="cluster")
 
     for entry in grid.split(","):
-        ct, cdb = entry.split(":")
+        parts = entry.split(":")
+        ct, cdb = parts[0], parts[1]
         os.environ["PT_CHUNK_TILES"] = ct
         os.environ["PT_CLOSEST_DB"] = cdb
+        if len(parts) > 2:
+            os.environ["PT_SWEEP_CPI"] = parts[2]
+        else:
+            os.environ.pop("PT_SWEEP_CPI", None)
         # CHUNK_TILES is read at import time - reload the module chain
         import pathtracer.kernels.packet as packet
         import pathtracer.render as render_mod
@@ -68,9 +74,10 @@ def main():
             s = float(jnp.sum(img))
         dt = (time.perf_counter() - t0) / reps
         mr = float(rays) / 1e6
-        print(f"chunk={int(ct)*64:7d} closest_db={cdb}: {dt*1e3:7.1f} "
-              f"ms/sample  {mr/dt:5.2f} Mrays/s  mean={s/(w*h*3):.5f}",
-              flush=True)
+        cpi = os.environ.get("PT_SWEEP_CPI", "-")
+        print(f"chunk={int(ct)*64:7d} closest_db={cdb} cpi={cpi}: "
+              f"{dt*1e3:7.1f} ms/sample  {mr/dt:5.2f} Mrays/s  "
+              f"mean={s/(w*h*3):.5f}", flush=True)
 
 
 if __name__ == "__main__":

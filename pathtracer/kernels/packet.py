@@ -609,7 +609,8 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
     # tail, so fully-dead tail chunks skip via chunk_live (docs/PERF.md
     # 0.19). Only pays when the wavefront actually splits into chunks.
     inv = None
-    if sort_rays and n > chunk_rays:
+    if (sort_rays and n > chunk_rays
+            and os.environ.get("PT_SORT_SCOPE", "global") == "global"):
         order, inv = _coherence_order(accel, o, d, dir_bits)
         odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
         o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
@@ -687,7 +688,8 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
     # global sort pool + chunked skip granule (see intersect_clusters)
     inv = None
-    if sort_rays and n > chunk_rays:
+    if (sort_rays and n > chunk_rays
+            and os.environ.get("PT_SORT_SCOPE", "global") == "global"):
         o_key = (o + d * t_max[:, None]) if morton_end else o
         order, inv = _coherence_order(accel, o_key, d, dir_bits)
         odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
