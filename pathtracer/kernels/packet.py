@@ -73,6 +73,46 @@ CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
 CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 
 
+def _fetch_group() -> int:
+    """Fine clusters fetched per DMA start in the Pallas sweep.
+
+    Culling stays at fine (K-triangle) granularity; the sweep fetches
+    aligned GROUPS of g consecutive fine clusters with ONE DMA start.
+    Measured basis (benchmarks/pair_stats.py, true workload tiles): 80%
+    of a bounce tile's visited fine clusters have their Morton sibling
+    visited too, so g=2 cuts DMA starts/tile 197 -> 118 for only +20%
+    tested lanes. The per-iteration fixed cost is the binding constraint
+    (docs/PERF.md 0.16/0.18/0.20) and DMA starts are most of what's
+    left after the slot-coalesced semaphore wait.
+    """
+    return int(os.environ.get("PT_FETCH_GROUP", "1"))
+
+
+def _group_blocks(accel: ClusterAccel, tile_tnear, g: int):
+    """Group-major sweep operands: blocks [C/g, 16, g*K], tnear group-min.
+
+    Pure XLA reshuffle traced inside the render jit - XLA CSEs the
+    (identical) transpose across the calls in one frame, and the move is
+    ~2x blocks bytes of HBM traffic, negligible vs the sweep. Zero-pad
+    blocks can never hit (denom = 0, id row 0 -> tri -1); inf-padded
+    tnear columns are never scheduled.
+    """
+    bt = accel.blocks_t                       # [C, 16, K]
+    c, s, k = bt.shape
+    pad = (-c) % g
+    if pad:
+        bt = jnp.concatenate([bt, jnp.zeros((pad, s, k), bt.dtype)])
+        tile_tnear = jnp.concatenate(
+            [tile_tnear,
+             jnp.full((tile_tnear.shape[0], pad), jnp.inf, jnp.float32)],
+            axis=1)
+    c2 = bt.shape[0] // g
+    btg = (bt.reshape(c2, g, s, k).transpose(0, 2, 1, 3)
+           .reshape(c2, s, g * k))
+    ttg = jnp.min(tile_tnear.reshape(-1, c2, g), axis=2)
+    return ttg, btg
+
+
 def _safe_inv(d):
     tiny = 1e-20
     d_safe = jnp.where(jnp.abs(d) < tiny, jnp.where(d < 0, -tiny, tiny), d)
@@ -402,14 +442,20 @@ def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
         if backend == "pallas":
             from pathtracer.kernels import pallas_sweep
 
-            k = accel.blocks_t.shape[2]
+            g = _fetch_group()
+            if g > 1:
+                tile_tnear, blocks_sweep = _group_blocks(
+                    accel, tile_tnear, g)
+            else:
+                blocks_sweep = accel.blocks_t
+            k = blocks_sweep.shape[2]
             p_cpi = max(1, pallas_sweep.LANES // k)
             st, si = _sorted_schedule(tile_tnear, p_cpi)
             rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
             # per-ray t_max already rides in t_cap; the kernel-constant
             # t_max is unused by the sweep (best_t starts at t_cap)
             t, tri, u, v = pallas_sweep.sweep_closest(
-                st, si, rays6, t_cap, accel.blocks_t, t_min, 1e30,
+                st, si, rays6, t_cap, blocks_sweep, t_min, 1e30,
                 interpret=_pallas_interpret())
             t = jnp.where(tri >= 0, t, jnp.inf)
             return _unsort_hit(t, tri, u, v, n, inv if sort_rays else None)
@@ -496,13 +542,19 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
         if backend == "pallas":
             from pathtracer.kernels import pallas_sweep
 
-            k = accel.blocks_t.shape[2]
+            g = _fetch_group()
+            if g > 1:
+                tile_tnear, blocks_sweep = _group_blocks(
+                    accel, tile_tnear, g)
+            else:
+                blocks_sweep = accel.blocks_t
+            k = blocks_sweep.shape[2]
             p_cpi = max(1, pallas_sweep.LANES // k)
             st, si = _sorted_schedule(tile_tnear, p_cpi,
                                       descending=schedule_far)
             rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
             blocked = pallas_sweep.sweep_occluded(
-                st, si, rays6, tm, accel.blocks_t,
+                st, si, rays6, tm, blocks_sweep,
                 interpret=_pallas_interpret(), front_sign=front_sign) > 0
             blocked = blocked.reshape(n)
             if sort_rays:

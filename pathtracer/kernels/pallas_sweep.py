@@ -91,23 +91,23 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
     rays = rays_ref[0]                      # [6, R]
 
     def start_dma(slot, col):
+        # all cpi copies signal ONE semaphore cell per slot; the matching
+        # wait blocks for the slot's total byte count in a single op
+        # (cpi separate waits cost ~cpi semaphore round-trips per
+        # iteration - measurable at cpi=12)
         for q in range(cpi):
             cid = si_ref[0, 0, col * cpi + q]
             pltpu.make_async_copy(
                 blocks_ref.at[cid],
                 scratch.at[slot, :, q * k:(q + 1) * k],
-                sems.at[slot, q],
+                sems.at[slot],
             ).start()
 
     def wait_dma(slot):
-        # reconstruct an equal-sized copy descriptor; .wait() blocks on the
-        # semaphore for the transfer's byte count (source id irrelevant)
-        for q in range(cpi):
-            pltpu.make_async_copy(
-                blocks_ref.at[0],
-                scratch.at[slot, :, q * k:(q + 1) * k],
-                sems.at[slot, q],
-            ).wait()
+        # equal-TOTAL-size descriptor; .wait() blocks on the semaphore
+        # for the byte count (source/dest ids irrelevant to the wait)
+        pltpu.make_async_copy(
+            scratch.at[slot], scratch.at[slot], sems.at[slot]).wait()
 
     # prefetch ring: columns 0..SLOTS-1 in flight before the loop
     for c0 in range(SLOTS - 1):
@@ -210,23 +210,18 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
     t_max = tm_ref[0, 0, :].reshape(r, 1)
 
     def start_dma(slot, col):
+        # one semaphore cell per slot; see _sweep_kernel.start_dma
         for q in range(cpi):
             cid = si_ref[0, 0, col * cpi + q]
             pltpu.make_async_copy(
                 blocks_ref.at[cid],
                 scratch.at[slot, :, q * k:(q + 1) * k],
-                sems.at[slot, q],
+                sems.at[slot],
             ).start()
 
     def wait_dma(slot):
-        # reconstruct an equal-sized copy descriptor; .wait() blocks on the
-        # semaphore for the transfer's byte count (source id irrelevant)
-        for q in range(cpi):
-            pltpu.make_async_copy(
-                blocks_ref.at[0],
-                scratch.at[slot, :, q * k:(q + 1) * k],
-                sems.at[slot, q],
-            ).wait()
+        pltpu.make_async_copy(
+            scratch.at[slot], scratch.at[slot], sems.at[slot]).wait()
 
     for c0 in range(SLOTS - 1):
         if c0 == 0:
@@ -378,7 +373,7 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
         ],
         scratch_shapes=[
             pltpu.VMEM((SLOTS, 16, cpi * k), jnp.float32),
-            pltpu.SemaphoreType.DMA((SLOTS, cpi)),
+            pltpu.SemaphoreType.DMA((SLOTS,)),
         ],
         interpret=interpret,
     )(st[:, None, :], si[:, None, :], rays.reshape(tiles, 6, r),
@@ -418,7 +413,7 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
         ],
         scratch_shapes=[
             pltpu.VMEM((SLOTS, 16, cpi * k), jnp.float32),
-            pltpu.SemaphoreType.DMA((SLOTS, cpi)),
+            pltpu.SemaphoreType.DMA((SLOTS,)),
         ],
         interpret=interpret,
     )(st[:, None, :], si[:, None, :], rays.reshape(tiles, 6, r),

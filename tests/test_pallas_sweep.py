@@ -123,3 +123,36 @@ def test_pallas_cpi_not_dividing_128_keeps_tail(monkeypatch):
                          jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
     assert (np.asarray(hr.tri) >= 0).all()   # every ray hits the far wall
     np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hr.tri))
+
+
+def test_pallas_group_fetch_matches(monkeypatch):
+    """PT_FETCH_GROUP=2/4: group-major blocks + group-min schedules.
+
+    The sweep fetches aligned groups of g fine clusters per DMA start
+    (packet._group_blocks); results must stay exactly equal to the
+    brute oracle, including with a cluster count not divisible by g
+    (zero-padded blocks must never produce hits).
+    """
+    v0, v1, v2 = _soup(300)
+    o, d = _rays(700)
+    t_max = jnp.full(len(o), 2.0, jnp.float32)
+    hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
+                         jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
+    obr = np.asarray(occluded_brute(jnp.asarray(o), jnp.asarray(d), t_max,
+                                    jnp.asarray(v0), jnp.asarray(v1),
+                                    jnp.asarray(v2)))
+    for max_c, g in ((16, 2), (16, 4), (8, 2)):
+        accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1),
+                               jnp.asarray(v2), max_clusters=max_c)
+        monkeypatch.setenv("PT_FETCH_GROUP", str(g))
+        hp = intersect_clusters(accel, jnp.asarray(o), jnp.asarray(d),
+                                1e-3, 1e20, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hr.tri))
+        both = np.asarray(hp.tri) >= 0
+        np.testing.assert_allclose(np.asarray(hp.t)[both],
+                                   np.asarray(hr.t)[both],
+                                   rtol=1e-4, atol=1e-5)
+        op = np.asarray(occluded_clusters(accel, jnp.asarray(o),
+                                          jnp.asarray(d), t_max,
+                                          backend="pallas"))
+        np.testing.assert_array_equal(op, obr)
