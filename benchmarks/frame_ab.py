@@ -6,8 +6,9 @@ lanes whose skipping granularity is the chunk. This sweeps the real
 render_sample at 1080p/262k to pick production defaults.
 
 Usage: GRID="512:2,512:3,2048:2,2048:3" python benchmarks/frame_ab.py
-(each entry = CHUNK_TILES:closest_dir_bits[:sweep_cpi]; occl dir_bits
-fixed at 2; sweep_cpi sets PT_SWEEP_CPI, omit for the default)
+(each entry = CHUNK_TILES:closest_dir_bits[:sweep_cpi[:fetch_group]];
+occl dir_bits fixed at 2; sweep_cpi sets PT_SWEEP_CPI and fetch_group
+sets PT_FETCH_GROUP - use "-" to keep a default)
 """
 
 import importlib
@@ -49,10 +50,14 @@ def main():
         ct, cdb = parts[0], parts[1]
         os.environ["PT_CHUNK_TILES"] = ct
         os.environ["PT_CLOSEST_DB"] = cdb
-        if len(parts) > 2:
+        if len(parts) > 2 and parts[2] != "-":
             os.environ["PT_SWEEP_CPI"] = parts[2]
         else:
             os.environ.pop("PT_SWEEP_CPI", None)
+        if len(parts) > 3 and parts[3] != "-":
+            os.environ["PT_FETCH_GROUP"] = parts[3]
+        else:
+            os.environ.pop("PT_FETCH_GROUP", None)
         # CHUNK_TILES is read at import time - reload the module chain
         import pathtracer.kernels.packet as packet
         import pathtracer.render as render_mod
@@ -75,7 +80,8 @@ def main():
         dt = (time.perf_counter() - t0) / reps
         mr = float(rays) / 1e6
         cpi = os.environ.get("PT_SWEEP_CPI", "-")
-        print(f"chunk={int(ct)*64:7d} closest_db={cdb} cpi={cpi}: "
+        grp = os.environ.get("PT_FETCH_GROUP", "1")
+        print(f"chunk={int(ct)*64:7d} closest_db={cdb} cpi={cpi} g={grp}: "
               f"{dt*1e3:7.1f} ms/sample  {mr/dt:5.2f} Mrays/s  "
               f"mean={s/(w*h*3):.5f}", flush=True)
 

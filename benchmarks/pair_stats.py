@@ -29,28 +29,26 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def stats(tile_tnear, cpi_single=12):
-    """tile_tnear f32[tiles, C] -> pairing stats dict."""
+    """tile_tnear f32[tiles, C] -> grouping stats dict (g = 1, 2, 4)."""
     vis = np.isfinite(np.asarray(tile_tnear))          # [tiles, C]
     tiles, c = vis.shape
-    if c % 2:
-        vis = np.concatenate([vis, np.zeros((tiles, 1), bool)], axis=1)
-    v2 = vis.reshape(tiles, -1, 2)                     # [tiles, C/2, 2]
-    both = (v2[..., 0] & v2[..., 1]).sum()
-    any_ = (v2[..., 0] | v2[..., 1]).sum()
     visited = vis.sum()
-    pairs = any_                                       # pair fetched if any member visited
-    cols_single = np.ceil(vis.sum(axis=1) / cpi_single).sum()
-    cols_pair = np.ceil((v2[..., 0] | v2[..., 1]).sum(axis=1)
-                        / (cpi_single // 2)).sum()
-    return {
-        "visited/tile": visited / tiles,
-        "sibling_coincidence": 2.0 * both / max(visited, 1),
-        "alu_inflation": 2.0 * pairs / max(visited, 1),
-        "cols/tile singles cpi=12": cols_single / tiles,
-        "cols/tile pairs cpi=6": cols_pair / tiles,
-        "dma_starts/tile singles": visited / tiles,
-        "dma_starts/tile pairs": pairs / tiles,
-    }
+    out = {"visited/tile": visited / tiles,
+           "cols/tile g=1 cpi=12": np.ceil(vis.sum(axis=1)
+                                           / cpi_single).sum() / tiles,
+           "dma_starts/tile g=1": visited / tiles}
+    for g in (2, 4):
+        pad = (-c) % g
+        v = np.concatenate([vis, np.zeros((tiles, pad), bool)], axis=1) \
+            if pad else vis
+        vg = v.reshape(tiles, -1, g)
+        grp = vg.any(axis=2)                           # [tiles, C/g]
+        fetched = grp.sum()
+        out[f"alu_inflation g={g}"] = g * fetched / max(visited, 1)
+        out[f"cols/tile g={g} cpi={cpi_single // g}"] = \
+            np.ceil(grp.sum(axis=1) / (cpi_single // g)).sum() / tiles
+        out[f"dma_starts/tile g={g}"] = fetched / tiles
+    return out
 
 
 def main():
