@@ -73,7 +73,7 @@ CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
 CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 
 
-def _fetch_group() -> int:
+def _fetch_group(group=None) -> int:
     """Fine clusters fetched per DMA start in the Pallas sweep.
 
     Culling stays at fine (K-triangle) granularity; the sweep fetches
@@ -85,6 +85,8 @@ def _fetch_group() -> int:
     (docs/PERF.md 0.16/0.18/0.20) and DMA starts are most of what's
     left after the slot-coalesced semaphore wait.
     """
+    if group is not None:
+        return int(group)
     return int(os.environ.get("PT_FETCH_GROUP", "1"))
 
 
@@ -397,7 +399,7 @@ def _unsort_hit(t, tri, u, v, n, inv):
 
 def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
                      tile_rays, cpi, cull, backend="xla", dir_bits=None,
-                     cull_t_min=None):
+                     cull_t_min=None, group=None):
     # cull_t_min: lower bound for the CULL's segment test only (two-phase
     # traversal: phase 2 skips clusters entirely inside the phase-1
     # window); MT keeps the true t_min.
@@ -442,7 +444,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
         if backend == "pallas":
             from pathtracer.kernels import pallas_sweep
 
-            g = _fetch_group()
+            g = _fetch_group(group)
             if g > 1:
                 tile_tnear, blocks_sweep = _group_blocks(
                     accel, tile_tnear, g)
@@ -503,7 +505,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
 
 def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
                     backend="xla", dir_bits=None, front_sign=1.0,
-                    schedule_far=False, morton_end=False):
+                    schedule_far=False, morton_end=False, group=None):
     def run(rays):
         def dead(rays):
             return (rays[0][:, 0] + rays[1][:, 0]) * 0.0 > 1.0
@@ -542,7 +544,7 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
         if backend == "pallas":
             from pathtracer.kernels import pallas_sweep
 
-            g = _fetch_group()
+            g = _fetch_group(group)
             if g > 1:
                 tile_tnear, blocks_sweep = _group_blocks(
                     accel, tile_tnear, g)
@@ -638,7 +640,8 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
                        sort_rays: bool = True, tile_rays: int = None,
                        cpi: int = None, chunk_rays: int = None,
                        cull: str = "ray", backend: str = "xla",
-                       dir_bits: int = None, cull_t_min=None) -> Hit:
+                       dir_bits: int = None, cull_t_min=None,
+                       group: int = None) -> Hit:
     """Closest hit of rays o/d [N,3] via packet traversal.
 
     t_max may be a scalar or per-ray [N] (two-phase traversal passes the
@@ -669,7 +672,7 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
         sort_rays = False
     hit = _chunk_map(
         _intersect_chunk(accel, t_min, sort_rays, tile_rays, cpi,
-                         cull, backend, dir_bits, cull_t_min),
+                         cull, backend, dir_bits, cull_t_min, group),
         (o, d, t_max), n, tile_rays, chunk_rays)
     if inv is None:
         return hit
@@ -723,7 +726,8 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
                       cpi: int = None, chunk_rays: int = None,
                       cull: str = "ray", backend: str = "xla",
                       dir_bits: int = None, front_sign: float = 1.0,
-                      schedule_far: bool = False, morton_end: bool = False):
+                      schedule_far: bool = False, morton_end: bool = False,
+                      group: int = None):
     """Any-hit (front-facing) visibility via packet traversal.
 
     front_sign = -1.0 flips the backface-skip convention for shadow rays
@@ -749,7 +753,8 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
         sort_rays = False
     blocked = _chunk_map(
         _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend,
-                        dir_bits, front_sign, schedule_far, morton_end),
+                        dir_bits, front_sign, schedule_far, morton_end,
+                        group),
         (o, d, t_max), n, tile_rays, chunk_rays)
     if inv is None:
         return blocked
