@@ -91,10 +91,18 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                 return packet.intersect_clusters_two_phase(
                     a, o, d, t_min, t_max, diag * frac,
                     backend=backend, sort_rays=sort_rays)
+            # Per-call fetch group (PT_GROUP_PRIMARY / PT_GROUP_BOUNCE,
+            # falling back to PT_FETCH_GROUP): camera tiles pair worse
+            # than bounce tiles (benchmarks/pair_stats.py), so the DMA
+            # grouping is tuned per call type.
+            grp = os.environ.get(
+                "PT_GROUP_PRIMARY" if primary else "PT_GROUP_BOUNCE")
             return packet.intersect_clusters(a, o, d, t_min, t_max,
                                              backend=backend,
                                              sort_rays=sort_rays
-                                             and not primary)
+                                             and not primary,
+                                             group=int(grp) if grp
+                                             else None)
 
         def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
             # The default chunk is now the whole wavefront (global sort
@@ -116,13 +124,16 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                 "PT_REV_SCHED", "far") == "far"
             m_end = rev and os.environ.get(
                 "PT_REV_MORTON", "end") == "end"
+            grp = os.environ.get("PT_GROUP_OCCL")
             return packet.occluded_clusters(a, o, d, t_max,
                                             backend=backend,
                                             sort_rays=sort_rays,
                                             chunk_rays=chunk,
                                             front_sign=front_sign,
                                             schedule_far=sched_far,
-                                            morton_end=m_end)
+                                            morton_end=m_end,
+                                            group=int(grp) if grp
+                                            else None)
     else:
         if scene.bvh is None:
             raise ValueError(
