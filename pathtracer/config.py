@@ -115,6 +115,16 @@ class RenderConfig:
     # contact-heavy scenes. 0 = off. PT_TWO_PHASE env overrides.
     two_phase_window: float = 0.0
 
+    # Verified primary-hit prediction across the progressive spp loop:
+    # feed each sample's primary hits (one i32 per pixel) back as the
+    # next sample's prediction. The hinted triangle is re-tested exactly
+    # and its hit distance becomes the per-ray t_max, so the near-to-far
+    # traversal schedule shrinks to clusters strictly in front of the
+    # verified hit (camera rays are temporally coherent under jittered
+    # progressive accumulation). Exact: predictions are verified, never
+    # trusted. Only applies to intersector="cluster".
+    primary_priming: bool = False
+
     # Stochastic bilinear texture filtering: jitter the texel coordinate
     # by a per-(lane, bounce) uniform and take ONE tap whose expectation
     # is the bilinear kernel, instead of 4 deterministic taps. Texture

@@ -466,16 +466,27 @@ def _wavefront_order(scene: Scene, o, d, active):
 
 def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
-                intersect_fn: Callable, occluded_fn: Callable):
+                intersect_fn: Callable, occluded_fn: Callable,
+                prime_tri=None):
     """Trace a batch of paths to completion.
 
     Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
-    scalar). With cfg.wavefront_sort the wavefront is re-permuted once per
-    bounce (see _wavefront_order), so radiance comes back in the LAST
-    bounce's order - callers scatter by pixel_ids_out (which ride along in
-    the carry). The ray counter is exact - path rays actually traced plus
-    NEE shadow rays - a free by-product of the active masks (SURVEY.md
-    par.5 "Tracing": Mrays/s from real ray counts, not upper bounds).
+    scalar, prime_out). With cfg.wavefront_sort the wavefront is
+    re-permuted once per bounce (see _wavefront_order), so radiance comes
+    back in the LAST bounce's order - callers scatter by pixel_ids_out
+    (which ride along in the carry). The ray counter is exact - path rays
+    actually traced plus NEE shadow rays - a free by-product of the
+    active masks (SURVEY.md par.5 "Tracing": Mrays/s from real ray
+    counts, not upper bounds).
+
+    prime_tri: optional i32[n_pixels] triangle hint per PIXEL (-1 =
+    none), e.g. the previous sample's primary hits. The primary segment
+    re-tests the hinted triangle first (an exact, verified prediction:
+    temporal coherence of camera rays under progressive accumulation)
+    and traverses with the verified hit distance as the per-ray t_max -
+    schedules shrink to clusters strictly in front of the hit. When
+    given, prime_out returns THIS sample's primary hits in pixel order
+    (i32[n_pixels]); otherwise prime_out is None.
 
     intersect_fn(o, d, t_min, t_max) -> Hit
     occluded_fn(o, d, t_max) -> bool[N]
@@ -488,6 +499,9 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     # One wide attribute row per triangle, packed once per frame (XLA CSEs
     # the O(T) pack across bounces); see pack_surface_rows.
     surf_rows = pack_surface_rows(scene)
+    # Captures the primary segment's hits (pixel order) when priming is
+    # on; filled inside segment(primary=True), same trace.
+    prime_state = {"out": None}
 
     def segment(carry, depth, primary=False):
         """Trace + emission collection shared by every bounce (incl. last)."""
@@ -516,9 +530,38 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         # (wavefront compaction without dynamic shapes).
         o_eff = jnp.where(active[..., None], o, 1e30)
         d_eff = jnp.where(active[..., None], d, 1.0)   # one shared octant
-        hit = intersect_fn(o_eff, d_eff, cfg.t_min, cfg.t_max,
-                           primary=primary)
+        if primary and prime_tri is not None:
+            # Verified hit prediction (exact): re-test the hinted
+            # triangle, then traverse with its hit distance as the
+            # per-ray t_max - the near-to-far sweep terminates at the
+            # first cluster beyond it. Misses keep cfg.t_max.
+            from pathtracer.kernels import intersect as isect
+
+            pt = prime_tri[pix]
+            pv0, pv1, pv2 = scene.tri_vertices(jnp.maximum(pt, 0))
+            tp, up, vp, okp = isect.ray_triangle(
+                o_eff, d_eff, pv0, pv1, pv2, cfg.t_min, cfg.t_max)
+            okp = okp & (pt >= 0)
+            tp = jnp.where(okp, tp, jnp.inf)
+            t_max_eff = jnp.minimum(cfg.t_max, tp)
+            hit = intersect_fn(o_eff, d_eff, cfg.t_min, t_max_eff,
+                               primary=primary)
+            # traversal only reports hits strictly closer than the
+            # verified prediction; fall back to the prediction itself
+            use_p = okp & ~hit.valid
+            hit = isect.Hit(
+                t=jnp.where(use_p, tp, hit.t),
+                tri=jnp.where(use_p, pt, hit.tri),
+                u=jnp.where(use_p, up, hit.u),
+                v=jnp.where(use_p, vp, hit.v))
+        else:
+            hit = intersect_fn(o_eff, d_eff, cfg.t_min, cfg.t_max,
+                               primary=primary)
         hit_ok = hit.valid & active
+        if primary and prime_tri is not None:
+            prime_state["out"] = jnp.full(
+                prime_tri.shape, -1, jnp.int32).at[pix].set(
+                    jnp.where(hit_ok, hit.tri, -1), unique_indices=True)
 
         # --- miss: environment (miss.rmiss; payload.done) ---
         missed = active & ~hit.valid
@@ -712,4 +755,4 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     carry, _ = segment(carry, cfg.max_depth - 1,
                        primary=(cfg.max_depth == 1))
     _, _, _, radiance, _, _, pix_out, _, rays_traced = carry
-    return radiance, pix_out, rays_traced
+    return radiance, pix_out, rays_traced, prime_state["out"]

@@ -178,15 +178,7 @@ def _unswizzle_image(img_flat, w: int, h: int):
     return img.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def render_sample(scene: Scene, cfg: RenderConfig,
-                  cam: cam_mod.CameraState, frame_idx, s):
-    """Render ONE sample per pixel: the unit TPU program.
-
-    Returns (linear radiance f32[H, W, 3] of this sample, rays f32 scalar).
-    Deterministic in (cfg.seed, frame_idx, s): the counter-based RNG keys
-    every draw on (pixel, frame*spp + s, depth, use).
-    """
+def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri):
     intersect_fn, occluded_fn = make_intersectors(scene, cfg)
     w, h = cfg.width, cfg.height
     n = w * h
@@ -199,14 +191,42 @@ def render_sample(scene: Scene, cfg: RenderConfig,
         (n,), frame_idx * cfg.spp + jnp.asarray(s, jnp.uint32), jnp.uint32)
     o, d = cam_mod.generate_primary_rays(
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
-    radiance, pix_out, rays = path_mod.trace_paths(
-        scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn)
+    radiance, pix_out, rays, prime_out = path_mod.trace_paths(
+        scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn,
+        prime_tri=prime_tri)
     # Lanes come back in the last bounce's wavefront order; one scatter by
     # the riding pixel ids lands them row-major (this also absorbs the
     # un-swizzle of the pixel-block layout).
     img = jnp.zeros((n, 3), jnp.float32).at[pix_out].set(
         radiance, unique_indices=True)
-    return img.reshape(h, w, 3), rays
+    return img.reshape(h, w, 3), rays, prime_out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_sample(scene: Scene, cfg: RenderConfig,
+                  cam: cam_mod.CameraState, frame_idx, s):
+    """Render ONE sample per pixel: the unit TPU program.
+
+    Returns (linear radiance f32[H, W, 3] of this sample, rays f32 scalar).
+    Deterministic in (cfg.seed, frame_idx, s): the counter-based RNG keys
+    every draw on (pixel, frame*spp + s, depth, use).
+    """
+    img, rays, _ = _render_sample_impl(scene, cfg, cam, frame_idx, s, None)
+    return img, rays
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_sample_primed(scene: Scene, cfg: RenderConfig,
+                         cam: cam_mod.CameraState, frame_idx, s, prime_tri):
+    """render_sample + verified primary-hit priming (path.trace_paths).
+
+    prime_tri: i32[W*H] previous sample's primary hit per pixel (-1 =
+    none). Returns (radiance, rays, this sample's primary hits) - chain
+    across the spp loop. Same estimator as render_sample; only float
+    rounding of the primary hit record can differ (the prediction is
+    re-verified, never trusted).
+    """
+    return _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri)
 
 
 def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
@@ -219,8 +239,16 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
     """
     radiance = None
     rays = None
+    prime = None
+    priming = cfg.primary_priming and cfg.intersector == "cluster"
     for s in range(cfg.spp):
-        r, k = render_sample(scene, cfg, cam, frame_idx, s)
+        if priming:
+            if prime is None:
+                prime = jnp.full((cfg.width * cfg.height,), -1, jnp.int32)
+            r, k, prime = render_sample_primed(scene, cfg, cam,
+                                               frame_idx, s, prime)
+        else:
+            r, k = render_sample(scene, cfg, cam, frame_idx, s)
         radiance = r if radiance is None else radiance + r
         rays = k if rays is None else rays + k
     return radiance / cfg.spp, rays                # raygen.rgen:297

@@ -146,3 +146,33 @@ def test_reference_quirks_mode_runs(cornell_setup):
     img = np.asarray(render_frame(scene, qcfg, cam.state(), 0))
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_primary_priming_exact():
+    """Verified primary-hit prediction changes NOTHING in the estimate.
+
+    spp=2 so sample 1 traverses with sample 0's primary hits as per-ray
+    t_max bounds; the scene is >256 tris so the real cluster path (not the
+    tiny-scene brute route) is exercised. Predictions are re-verified, so
+    the image must match the unprimed render to float rounding.
+    """
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import render_frame_with_stats
+
+    b = cornell_box()
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    scene = build_scene_clusters(b.finalize())
+    assert scene.n_tris > 256
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       intersector="cluster")
+    cfg_p = dataclasses.replace(cfg, primary_priming=True)
+    base, rays_b = render_frame_with_stats(scene, cfg, cam.state(), 0)
+    primed, rays_p = render_frame_with_stats(scene, cfg_p, cam.state(), 0)
+    np.testing.assert_allclose(np.asarray(primed), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+    # the ray COUNT is also unchanged: priming only bounds t_max
+    np.testing.assert_allclose(float(rays_p), float(rays_b), rtol=1e-6)
