@@ -173,6 +173,9 @@ def main(argv=None):
                     help="output PNG (or directory with --orbit)")
     ap.add_argument("--checkpoint", default=None,
                     help="film checkpoint to save/resume (.npz)")
+    ap.add_argument("--priming", action="store_true",
+                    help="verified primary-hit prediction across the spp "
+                         "loop (exact; config.primary_priming)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -188,7 +191,8 @@ def main(argv=None):
                        max_depth=args.max_depth, sky=args.sky,
                        env_importance_sampling=args.env_nee,
                        seed=args.seed, intersector=args.intersector,
-                       traversal_backend=args.traversal_backend)
+                       traversal_backend=args.traversal_backend,
+                       primary_priming=args.priming)
     cam = default_camera(specs[0])
     r = Renderer(scene, cfg, cam)
 

@@ -69,7 +69,13 @@ def ray_triangle(o, d, v0, v1, v2, t_min, t_max):
 
 def intersect_brute(o, d, tri_v0, tri_v1, tri_v2, t_min, t_max,
                     tri_chunk: int = 256) -> Hit:
-    """Closest hit of rays [N,3] against all triangles [T,3] by O(N*T) scan."""
+    """Closest hit of rays [N,3] against all triangles [T,3] by O(N*T) scan.
+
+    t_max may be a scalar or per-ray [N] (the priming path passes verified
+    per-ray bounds).
+    """
+    n = o.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
     n_tris = tri_v0.shape[0]
     pad = (-n_tris) % tri_chunk
     if pad:
@@ -82,9 +88,8 @@ def intersect_brute(o, d, tri_v0, tri_v1, tri_v2, t_min, t_max,
     tv1 = tri_v1.reshape(n_chunks, tri_chunk, 3)
     tv2 = tri_v2.reshape(n_chunks, tri_chunk, 3)
 
-    n = o.shape[0]
     init = Hit(
-        t=jnp.full((n,), t_max, jnp.float32),
+        t=t_max,
         tri=jnp.full((n,), -1, jnp.int32),
         u=jnp.zeros((n,), jnp.float32),
         v=jnp.zeros((n,), jnp.float32),
@@ -96,7 +101,7 @@ def intersect_brute(o, d, tri_v0, tri_v1, tri_v2, t_min, t_max,
         t, u, v, hit = ray_triangle(
             o[:, None, :], d[:, None, :],
             v0c[None, :, :], v1c[None, :, :], v2c[None, :, :],
-            t_min, t_max)
+            t_min, t_max[:, None])
         t = jnp.where(hit, t, jnp.inf)
         j = jnp.argmin(t, axis=1)
         rows = jnp.arange(n)

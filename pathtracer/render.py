@@ -230,16 +230,23 @@ def render_sample_primed(scene: Scene, cfg: RenderConfig,
 
 
 def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
-                            cam: cam_mod.CameraState, frame_idx):
+                            cam: cam_mod.CameraState, frame_idx,
+                            prime=None, return_prime: bool = False):
     """Render one frame's radiance estimate (mean of cfg.spp samples).
 
     HOST-level spp loop over per-sample TPU programs: dispatches chain
     asynchronously on-device, each compiled program stays at one sample's
     size, and spp scales linearly.
+
+    prime/return_prime: with cfg.primary_priming, the per-pixel primary
+    hits chain across the spp loop AND (via the caller threading prime
+    through successive frames, see Renderer.step) across the progressive
+    loop - the camera is static between frames by construction
+    (main.cpp:678-681 resets on movement), so the last sample's hits are
+    a valid prediction for the next frame's first sample.
     """
     radiance = None
     rays = None
-    prime = None
     priming = cfg.primary_priming and cfg.intersector == "cluster"
     for s in range(cfg.spp):
         if priming:
@@ -251,7 +258,8 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
             r, k = render_sample(scene, cfg, cam, frame_idx, s)
         radiance = r if radiance is None else radiance + r
         rays = k if rays is None else rays + k
-    return radiance / cfg.spp, rays                # raygen.rgen:297
+    out = (radiance / cfg.spp, rays)               # raygen.rgen:297
+    return out + (prime,) if return_prime else out
 
 
 def render_frame(scene: Scene, cfg: RenderConfig, cam: cam_mod.CameraState,
@@ -289,16 +297,22 @@ class Renderer:
         self.cfg = cfg
         self.camera = camera or cam_mod.Camera()
         self.film = film_mod.new_film(cfg.width, cfg.height)
+        # primary-hit prediction chained across frames (cfg.primary_priming)
+        self._prime = None
 
     def reset(self):
         self.film = film_mod.new_film(self.cfg.width, self.cfg.height)
+        self._prime = None        # camera moved: predictions are stale
 
     def step(self) -> film_mod.Film:
         if self.camera.moved:
             self.reset()
             self.camera.moved = False
-        self.film = render_step(self.scene, self.cfg, self.camera.state(),
-                                self.film)
+        radiance, _, self._prime = render_frame_with_stats(
+            self.scene, self.cfg, self.camera.state(),
+            self.film.frame.astype(jnp.uint32), prime=self._prime,
+            return_prime=True)
+        self.film = film_mod.accumulate(self.film, radiance)
         return self.film
 
     def run(self, n_frames: int) -> film_mod.Film:

@@ -176,3 +176,26 @@ def test_primary_priming_exact():
                                rtol=1e-5, atol=1e-6)
     # the ray COUNT is also unchanged: priming only bounds t_max
     np.testing.assert_allclose(float(rays_p), float(rays_b), rtol=1e-6)
+
+
+def test_primary_priming_cross_frame_exact():
+    """Priming chained across progressive frames (Renderer) is exact too."""
+    from pathtracer.accel.cluster import build_scene_clusters
+
+    b = cornell_box()
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    scene = build_scene_clusters(b.finalize())
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=1, max_depth=3,
+                       intersector="cluster")
+    cfg_p = dataclasses.replace(cfg, primary_priming=True)
+    rb, rp = Renderer(scene, cfg, cam), Renderer(scene, cfg_p, cam)
+    rb.camera.moved = rp.camera.moved = False
+    for _ in range(2):   # frame 2's sample is primed by frame 1's hits
+        fb, fp = rb.step(), rp.step()
+    np.testing.assert_allclose(np.asarray(fp.accum), np.asarray(fb.accum),
+                               rtol=1e-5, atol=1e-6)
+    assert rp._prime is not None and int(jnp.max(rp._prime)) >= 0
