@@ -126,6 +126,45 @@ def _like(ref, value, dtype):
     return (ref * 0).astype(dtype) + jnp.asarray(value, dtype)
 
 
+def _mixed_key(m, m_bits: int, d, dir_bits: int):
+    """6D-interleaved coherence key (PT_KEY_SCHEME=mixed).
+
+    The default key is direction-MAJOR: all 3*dir_bits direction bits
+    above all origin-Morton bits, so a tile is tight in direction but
+    its origins may span the whole scene at coarse direction bins. This
+    variant interleaves the direction bits (themselves axis-interleaved,
+    MSB first) evenly THROUGH the origin-Morton bits from the MSB down -
+    a Bresenham merge of the two bit streams - so sorted neighbors are
+    close in origin AND direction simultaneously. The top 32 bits of the
+    merged stream form the u32 key (the dropped tail is origin detail
+    far below 64-ray tile granularity).
+    """
+    db3 = 3 * dir_bits
+    levels = jnp.float32((1 << dir_bits) - 1e-3)
+    q = jnp.clip((d * 0.5 + 0.5) * levels, 0,
+                 (1 << dir_bits) - 1).astype(jnp.uint32)
+    md = jnp.zeros_like(q[:, 0])
+    for i in range(dir_bits - 1, -1, -1):          # MSB first
+        for ax in range(3):
+            md = (md << jnp.uint32(1)) | ((q[:, ax] >> jnp.uint32(i))
+                                          & jnp.uint32(1))
+
+    total = m_bits + db3
+    key = jnp.zeros_like(m)
+    mi = di = 0                                    # bits consumed
+    for pos in range(min(total, 32)):
+        # Bresenham: emit a direction bit when its stream is behind its
+        # even share of the merged prefix.
+        if di * total <= pos * db3 and di < db3:
+            bit = (md >> jnp.uint32(db3 - 1 - di)) & jnp.uint32(1)
+            di += 1
+        else:
+            bit = (m >> jnp.uint32(m_bits - 1 - mi)) & jnp.uint32(1)
+            mi += 1
+        key = (key << jnp.uint32(1)) | bit
+    return key
+
+
 def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
     """Sort permutation grouping rays by direction bin + origin Morton.
 
@@ -163,7 +202,11 @@ def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
                 | (q[:, 1] << jnp.uint32(dir_bits)) | q[:, 2])
     db = 3 * dir_bits
     m = morton_mod.morton_codes(o, lo=lo, hi=hi)  # 30-bit
-    key = (dbin << jnp.uint32(32 - db)) | (m >> jnp.uint32(db - 2))
+    if os.environ.get("PT_KEY_SCHEME", "dirmajor") == "mixed" \
+            and dir_bits >= 2:
+        key = _mixed_key(m, 30, d, dir_bits)
+    else:
+        key = (dbin << jnp.uint32(32 - db)) | (m >> jnp.uint32(db - 2))
     key = jnp.where(o[:, 0] >= 1e29, jnp.uint32(0xFFFFFFFF), key)
     order = jnp.argsort(key).astype(jnp.int32)
     inv = jnp.argsort(order).astype(jnp.int32)

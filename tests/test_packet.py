@@ -223,3 +223,29 @@ def test_sort_scope_chunk_matches(random_tri_soup, random_rays, monkeypatch):
     oc = np.asarray(occluded_clusters(accel, jnp.asarray(o), jnp.asarray(d),
                                       t_max, chunk_rays=128, sort_rays=True))
     np.testing.assert_array_equal(oc, ob)
+
+
+def test_mixed_key_scheme_matches(random_tri_soup, random_rays, monkeypatch):
+    """PT_KEY_SCHEME=mixed (6D-interleaved coherence key) stays exact.
+
+    The key only changes the sort order - a pure scheduling choice - so
+    closest hits and occlusion must still match the brute oracle.
+    """
+    monkeypatch.setenv("PT_KEY_SCHEME", "mixed")
+    monkeypatch.setenv("PT_DIR_BITS", "3")
+    v0, v1, v2 = random_tri_soup
+    o, d = random_rays
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                           max_clusters=16)
+    hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
+                         jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
+    hc = intersect_clusters(accel, jnp.asarray(o), jnp.asarray(d), 1e-3,
+                            1e20, chunk_rays=128, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(hc.tri), np.asarray(hr.tri))
+    t_max = jnp.full(len(o), 2.0, jnp.float32)
+    ob = np.asarray(occluded_brute(jnp.asarray(o), jnp.asarray(d), t_max,
+                                   jnp.asarray(v0), jnp.asarray(v1),
+                                   jnp.asarray(v2)))
+    oc = np.asarray(occluded_clusters(accel, jnp.asarray(o), jnp.asarray(d),
+                                      t_max, chunk_rays=128, sort_rays=True))
+    np.testing.assert_array_equal(oc, ob)
