@@ -353,10 +353,20 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
 
 
 def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
-         pixel, sample, depth, occluded_fn, shade=None, primary=False):
+         pixel, sample, depth, occluded_fn, shade=None, primary=False,
+         prime_blk=None):
     """Next-event estimation (raygen.rgen:168-261). Returns contrib/T [N,3].
 
     view = unit vector from surface toward the previous vertex (-ray dir).
+
+    prime_blk: optional i32[N] per-lane blocker-triangle hint (-1 = none),
+    the previous sample's verified blockers for this pixel's bounce-0
+    shadow query. The hint is re-tested exactly against THIS sample's
+    segment; a verified blocker makes the query conclusively occluded
+    (any-hit semantics) and the lane parks out of the traversal. When
+    given, returns (contrib, new_blk) with this sample's blocker hints
+    (failed hints are KEPT - area-light resampling can re-verify them
+    next sample); otherwise returns contrib alone.
     """
     u_sel = rng.uniform1(pixel, sample, depth, rng.SALT_LIGHT_SELECT, cfg.seed)
     li = jnp.clip(jnp.searchsorted(scene.light_cdf, u_sel, side="left"),
@@ -406,7 +416,31 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
         s_dir = seg / seg_len[..., None]
         s_tmax = seg_len * (1.0 - 1e-3)
     valid = geo_ok if shade is None else (geo_ok & shade)
-    if cfg.shadow_from_light and not cfg.reference_quirks:
+    new_blk = None
+    if prime_blk is not None and not cfg.shadow_from_light:
+        # Verified blocker prediction (exact): re-test the hinted
+        # triangle against THIS segment under the traversal's own policy
+        # (front-facing, 0 < t < tmax, kernels/packet._mt_any_front). A
+        # verified block is conclusive - any-hit needs no traversal.
+        from pathtracer.kernels import intersect as isect
+
+        bi = jnp.maximum(prime_blk, 0)
+        bv0, bv1, bv2 = scene.tri_vertices(bi)
+        tb, _, _, okb = isect.ray_triangle(s_orig, s_dir, bv0, bv1, bv2,
+                                           0.0, s_tmax)
+        gnb = vmath.cross(bv1 - bv0, bv2 - bv0)
+        frontb = vmath.dot(s_dir, gnb) < 0.0
+        ver = okb & frontb & (prime_blk >= 0) & valid
+        need = valid & ~ver
+        o_t = jnp.where(need[..., None], s_orig, 1e30)   # park resolved
+        d_t = jnp.where(need[..., None], s_dir, 1.0)
+        blocked_tr, btri = occluded_fn(o_t, d_t, s_tmax, primary=primary,
+                                       want_blocker=True)
+        # keep failed hints (may re-verify under a new light sample);
+        # adopt traversal's blocker where it found one
+        new_blk = jnp.where(need & blocked_tr, btri, prime_blk)
+        blocked = ver | blocked_tr
+    elif cfg.shadow_from_light and not cfg.reference_quirks:
         # REVERSED shadow ray: origin just off the sampled light point,
         # aimed at the surface. Same tested interval as the forward
         # scheme - the origin offset seg_len*1e-3 mirrors the forward
@@ -438,7 +472,8 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
     contrib = f * (le * gain) * (g / jnp.maximum(p_a, 1e-12))[..., None] \
         * w[..., None]
     ok = geo_ok & ~blocked
-    return jnp.where(ok[..., None], contrib, 0.0)
+    out = jnp.where(ok[..., None], contrib, 0.0)
+    return (out, new_blk) if prime_blk is not None else out
 
 
 def _wavefront_order(scene: Scene, o, d, active):
@@ -467,7 +502,7 @@ def _wavefront_order(scene: Scene, o, d, active):
 def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
                 intersect_fn: Callable, occluded_fn: Callable,
-                prime_tri=None):
+                prime_tri=None, prime_blk=None):
     """Trace a batch of paths to completion.
 
     Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
@@ -488,6 +523,10 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     given, prime_out returns THIS sample's primary hits in pixel order
     (i32[n_pixels]); otherwise prime_out is None.
 
+    prime_blk: optional i32[n_pixels] blocker hint per PIXEL for the
+    bounce-0 NEE shadow query (see _nee). When given, prime_out is the
+    pair (primary_hits, blocker_hints), both i32[n_pixels] pixel-order.
+
     intersect_fn(o, d, t_min, t_max) -> Hit
     occluded_fn(o, d, t_max) -> bool[N]
     """
@@ -499,9 +538,9 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     # One wide attribute row per triangle, packed once per frame (XLA CSEs
     # the O(T) pack across bounces); see pack_surface_rows.
     surf_rows = pack_surface_rows(scene)
-    # Captures the primary segment's hits (pixel order) when priming is
-    # on; filled inside segment(primary=True), same trace.
-    prime_state = {"out": None}
+    # Captures the primary segment's hits + bounce-0 blockers (pixel
+    # order) when priming is on; filled inside the primary bounce.
+    prime_state = {"out": None, "blk": None}
 
     def segment(carry, depth, primary=False):
         """Trace + emission collection shared by every bounce (incl. last)."""
@@ -647,8 +686,20 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         import os as _os
         skip_nee = _os.environ.get("PT_SKIP_NEE", "0") != "0"
         if scene.has_lights and not skip_nee:
-            nee = _nee(scene, cfg, surf, view, pix, samp, depth,
-                       occluded_fn, shade, primary)
+            if primary and prime_blk is not None:
+                # bounce-0 shadow blocker priming: hints ride per PIXEL
+                # (lane pix mapping is the identity at bounce 0 up to
+                # swizzle); verified blocks park out of traversal.
+                nee, new_blk = _nee(scene, cfg, surf, view, pix, samp,
+                                    depth, occluded_fn, shade, primary,
+                                    prime_blk=prime_blk[pix])
+                if new_blk is not None:
+                    prime_state["blk"] = jnp.full(
+                        prime_blk.shape, -1, jnp.int32).at[pix].set(
+                            new_blk, unique_indices=True)
+            else:
+                nee = _nee(scene, cfg, surf, view, pix, samp, depth,
+                           occluded_fn, shade, primary)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * nee, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
@@ -755,4 +806,9 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     carry, _ = segment(carry, cfg.max_depth - 1,
                        primary=(cfg.max_depth == 1))
     _, _, _, radiance, _, _, pix_out, _, rays_traced = carry
+    if prime_blk is not None:
+        blk = prime_state["blk"]
+        if blk is None:              # NEE never ran (no lights/depth 1)
+            blk = jnp.full_like(prime_blk, -1)
+        return radiance, pix_out, rays_traced, (prime_state["out"], blk)
     return radiance, pix_out, rays_traced, prime_state["out"]

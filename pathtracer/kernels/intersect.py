@@ -120,7 +120,8 @@ def intersect_brute(o, d, tri_v0, tri_v1, tri_v2, t_min, t_max,
 
 
 def occluded_brute(o, d, t_max, tri_v0, tri_v1, tri_v2,
-                   tri_chunk: int = 256, front_sign: float = 1.0):
+                   tri_chunk: int = 256, front_sign: float = 1.0,
+                   want_blocker: bool = False):
     """Any-hit visibility test with backface skip (raygen.rgen:210-230).
 
     Returns bool[N]: True where the segment (o, d*t_max) is blocked by a
@@ -131,6 +132,10 @@ def occluded_brute(o, d, t_max, tri_v0, tri_v1, tri_v2,
     convention); -1.0 flips it, for shadow rays traced in REVERSE (from
     the light toward the surface): a blocker front-facing to the original
     surface->light direction is back-facing to the reversed ray.
+
+    want_blocker: also return i32[N] = the id of SOME blocking triangle
+    (-1 where unblocked) - the shadow-priming hint (any-hit semantics:
+    which blocker is unspecified).
     """
     n_tris = tri_v0.shape[0]
     pad = (-n_tris) % tri_chunk
@@ -144,8 +149,9 @@ def occluded_brute(o, d, t_max, tri_v0, tri_v1, tri_v2,
     tv1 = tri_v1.reshape(n_chunks, tri_chunk, 3)
     tv2 = tri_v2.reshape(n_chunks, tri_chunk, 3)
 
-    def body(blocked, chunk):
-        v0c, v1c, v2c = chunk
+    def body(carry, chunk):
+        blocked, btri = carry
+        ci, v0c, v1c, v2c = chunk
         t, _, _, hit = ray_triangle(
             o[:, None, :], d[:, None, :],
             v0c[None, :, :], v1c[None, :, :], v2c[None, :, :],
@@ -154,8 +160,14 @@ def occluded_brute(o, d, t_max, tri_v0, tri_v1, tri_v2,
         gn = vmath.cross(v1c - v0c, v2c - v0c)[None, :, :]
         front = front_sign * vmath.dot(d[:, None, :], gn) < 0.0
         hit = hit & front & (t < t_max[:, None])
-        return blocked | jnp.any(hit, axis=1), None
+        any_hit = jnp.any(hit, axis=1)
+        new = any_hit & ~blocked
+        j = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        btri = jnp.where(new, ci * tri_chunk + j, btri)
+        return (blocked | any_hit, btri), None
 
-    blocked, _ = jax.lax.scan(
-        body, jnp.zeros(o.shape[0], bool), (tv0, tv1, tv2))
-    return blocked
+    init = (jnp.zeros(o.shape[0], bool),
+            jnp.full(o.shape[0], -1, jnp.int32))
+    (blocked, btri), _ = jax.lax.scan(
+        body, init, (jnp.arange(n_chunks), tv0, tv1, tv2))
+    return (blocked, btri) if want_blocker else blocked

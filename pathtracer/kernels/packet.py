@@ -388,12 +388,15 @@ def _mt_closest(block, o, d, t_min, t_max):
     return tj, uj, vj, idj
 
 
-def _mt_any_front(block, o, d, t_max, front_sign=1.0):
+def _mt_any_front(block, o, d, t_max, front_sign=1.0, want_id=False):
     """Any front-facing hit below t_max (shadow policy raygen.rgen:214-218).
 
     front_sign = -1.0 flips the facing test for REVERSED shadow rays
     (traced light->surface): front-facing to the original surface->light
     direction means back-facing to the reversed ray.
+
+    want_id: also return i32[tiles, R] = id of SOME blocking triangle
+    (-1 where none) - the shadow-priming hint.
     """
     v0 = block[:, None, :, 0:3]
     e1 = block[:, None, :, 3:6]
@@ -413,7 +416,15 @@ def _mt_any_front(block, o, d, t_max, front_sign=1.0):
     ok = ((jnp.abs(det) > DET_EPS)
           & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t > 0.0) & (t < t_max[:, :, None]) & front)
-    return jnp.any(ok, axis=-1)                       # [tiles, R]
+    any_ok = jnp.any(ok, axis=-1)                     # [tiles, R]
+    if not want_id:
+        return any_ok
+    tid = jnp.round(block[:, :, 9]).astype(jnp.int32) - 1
+    j = jnp.argmax(ok, axis=-1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 2)
+    sel = k_iota == j[..., None]
+    idj = jnp.sum(jnp.where(sel, tid[:, None, :], 0), axis=-1)
+    return any_ok, jnp.where(any_ok, idj, -1)
 
 
 def _fetch_blocks(accel, cids):
@@ -548,10 +559,14 @@ def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
 
 def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
                     backend="xla", dir_bits=None, front_sign=1.0,
-                    schedule_far=False, morton_end=False, group=None):
+                    schedule_far=False, morton_end=False, group=None,
+                    want_blocker=False):
     def run(rays):
         def dead(rays):
-            return (rays[0][:, 0] + rays[1][:, 0]) * 0.0 > 1.0
+            blocked = (rays[0][:, 0] + rays[1][:, 0]) * 0.0 > 1.0
+            if want_blocker:
+                return blocked, (rays[0][:, 0] * 0).astype(jnp.int32) - 1
+            return blocked
 
         return jax.lax.cond(chunk_live(rays[0]), _run_live, dead, rays)
 
@@ -598,10 +613,17 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
             st, si = _sorted_schedule(tile_tnear, p_cpi,
                                       descending=schedule_far)
             rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
-            blocked = pallas_sweep.sweep_occluded(
+            out = pallas_sweep.sweep_occluded(
                 st, si, rays6, tm, blocks_sweep,
-                interpret=_pallas_interpret(), front_sign=front_sign) > 0
-            blocked = blocked.reshape(n)
+                interpret=_pallas_interpret(), front_sign=front_sign,
+                want_blocker=want_blocker)
+            if want_blocker:
+                blocked, btri = out[0] > 0, out[1]
+                blocked, btri = blocked.reshape(n), btri.reshape(n)
+                if sort_rays:
+                    blocked, btri = blocked[inv], btri[inv]
+                return blocked, btri
+            blocked = (out > 0).reshape(n)
             if sort_rays:
                 blocked = blocked[inv]
             return blocked
@@ -612,27 +634,39 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
         state = (
             _like(ref[0], 0, jnp.int32),
             _like(ref, 0, jnp.int32).astype(bool).reshape(n_tiles, tile_rays),
+            _like(ref, -1, jnp.int32).reshape(n_tiles, tile_rays),
         )
 
         def cond(state):
-            j, blocked = state
+            j, blocked, _ = state
             nearest = jax.lax.dynamic_slice_in_dim(st, j, 1, 1)[:, 0]
             live = (nearest < jnp.inf) & jnp.any(~blocked, axis=1)
             return (j < n_cols) & jnp.any(live)
 
         def body(state):
-            j, blocked = state
+            j, blocked, btri = state
             nearest = jax.lax.dynamic_slice_in_dim(st, j, 1, 1)[:, 0]
             live = (nearest < jnp.inf) & jnp.any(~blocked, axis=1)
             cids = jax.lax.dynamic_slice_in_dim(si, j, cpi, 1)
 
             block = _fetch_blocks(accel, cids)
-            newly = _mt_any_front(block, ot, dt, tm, front_sign)
+            if want_blocker:
+                newly, nid = _mt_any_front(block, ot, dt, tm, front_sign,
+                                           want_id=True)
+                upd = newly & live[:, None] & ~blocked
+                btri = jnp.where(upd, nid, btri)
+            else:
+                newly = _mt_any_front(block, ot, dt, tm, front_sign)
             blocked = blocked | (newly & live[:, None])
-            return j + cpi, blocked
+            return j + cpi, blocked, btri
 
-        _, blocked = jax.lax.while_loop(cond, body, state)
+        _, blocked, btri = jax.lax.while_loop(cond, body, state)
         blocked = blocked.reshape(n)
+        if want_blocker:
+            btri = btri.reshape(n)
+            if sort_rays:
+                return blocked[inv], btri[inv]
+            return blocked, btri
         if sort_rays:
             blocked = blocked[inv]
         return blocked
@@ -770,13 +804,14 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
                       cull: str = "ray", backend: str = "xla",
                       dir_bits: int = None, front_sign: float = 1.0,
                       schedule_far: bool = False, morton_end: bool = False,
-                      group: int = None):
+                      group: int = None, want_blocker: bool = False):
     """Any-hit (front-facing) visibility via packet traversal.
 
     front_sign = -1.0 flips the backface-skip convention for shadow rays
     traced in REVERSE (light -> surface); see _mt_any_front. schedule_far
     visits clusters far-to-near (see _sorted_schedule); morton_end keys
     the coherence sort on segment endpoints (see _occluded_chunk).
+    want_blocker: also return i32[N] blocker-triangle hints (-1 open).
     """
     if dir_bits is None:
         dir_bits = int(os.environ.get("PT_OCCL_DB", "2"))
@@ -794,11 +829,11 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
         odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
         o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
         sort_rays = False
-    blocked = _chunk_map(
+    out = _chunk_map(
         _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend,
                         dir_bits, front_sign, schedule_far, morton_end,
-                        group),
+                        group, want_blocker),
         (o, d, t_max), n, tile_rays, chunk_rays)
-    if inv is None:
-        return blocked
-    return blocked[inv]
+    if inv is not None:
+        out = jax.tree_util.tree_map(lambda x: x[inv], out)
+    return out

@@ -203,11 +203,21 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
 
 def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
-                 out_ref, scratch, sems, *, cpi, k, n_cols,
-                 front_sign=1.0):
+                 out_ref, *rest, cpi, k, n_cols,
+                 front_sign=1.0, want_blocker=False):
+    """Occlusion sweep. With want_blocker, a second output carries the id
+    of SOME blocking triangle per ray (-1 open) - the shadow-priming hint
+    (any-hit semantics: which blocker is unspecified). The id extraction
+    is gated on "some lane newly blocked" so the steady-state iteration
+    cost is unchanged."""
+    if want_blocker:
+        btri_ref, scratch, sems = rest
+    else:
+        scratch, sems = rest
     r = rays_ref.shape[2]
     rays = rays_ref[0]                      # [6, R]
     t_max = tm_ref[0, 0, :].reshape(r, 1)
+    tid_row = 12                            # id+1 as a float value
 
     def start_dma(slot, col):
         # one semaphore cell per slot; see _sweep_kernel.start_dma
@@ -232,13 +242,16 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
                 start_dma(c0 % SLOTS, c0)
 
     def cond(carry):
-        col, blocked, n_open = carry
+        col, blocked, n_open = carry[:3]
         col_c = jnp.minimum(col, n_cols - 1)   # keep SMEM read in bounds
         return (col < n_cols) & (st_ref[0, 0, col_c * cpi] < jnp.inf) \
             & (n_open > 0)
 
     def body(carry):
-        col, blocked, n_open = carry
+        if want_blocker:
+            col, blocked, n_open, btri = carry
+        else:
+            col, blocked, n_open = carry
         slot = jax.lax.rem(col, SLOTS)
 
         @pl.when(col + (SLOTS - 1) < n_cols)
@@ -255,19 +268,36 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
         # kernels/packet._mt_any_front.
         front = front_sign * denom < 0.0
         hit = jnp.isfinite(t) & front & (t < t_max)
+        any_hit = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+        if want_blocker:
+            new = (any_hit > 0) & (blocked == 0)
+
+            def record(btri):
+                j = jnp.argmax(hit, axis=1, keepdims=True)
+                lane = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+                tid = jnp.round(block[tid_row, :].reshape(1, -1)) \
+                    .astype(jnp.int32) - 1
+                idj = jnp.sum(jnp.where(lane == j, tid, 0), axis=1,
+                              keepdims=True)
+                return jnp.where(new, idj, btri)
+
+            btri = jax.lax.cond(jnp.any(new), record, lambda b: b, btri)
         # blocked is carried as i32: i1 vectors in while-carries fail to
         # legalize in Mosaic
-        blocked = jnp.maximum(
-            blocked, jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32))
+        blocked = jnp.maximum(blocked, any_hit)
         n_open = jnp.sum(1 - blocked)
-        return col + 1, blocked, n_open
+        out = (col + 1, blocked, n_open)
+        return out + (btri,) if want_blocker else out
 
     init = (
         jnp.int32(0),
         jnp.zeros((r, 1), jnp.int32),
         jnp.int32(r),
     )
-    col_f, blocked, _ = jax.lax.while_loop(cond, body, init)
+    if want_blocker:
+        init = init + (jnp.full((r, 1), -1, jnp.int32),)
+    fin = jax.lax.while_loop(cond, body, init)
+    col_f, blocked = fin[0], fin[1]
 
     for off in range(SLOTS - 1):
         @pl.when(col_f + off < n_cols)
@@ -275,6 +305,8 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
             wait_dma(jax.lax.rem(col_f + off, SLOTS))
 
     out_ref[0, 0, :] = blocked[:, 0]
+    if want_blocker:
+        btri_ref[0, 0, :] = fin[3][:, 0]
 
 
 def _cpi_mult(k: int, c: int) -> int:
@@ -382,8 +414,9 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
 
 
 def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
-                   front_sign=1.0):
-    """Run the occlusion sweep kernel. Returns blocked i32[tiles, R]."""
+                   front_sign=1.0, want_blocker=False):
+    """Run the occlusion sweep kernel. Returns blocked i32[tiles, R];
+    with want_blocker, (blocked, blocker_tri i32[tiles, R], -1 open)."""
     k = blocks_t.shape[2]
     cpi = max(1, LANES // k) * _cpi_mult(k, blocks_t.shape[0])
     st, si = _pad_cols(st, si, cpi)
@@ -392,11 +425,13 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
     n_cols = cs // cpi
 
     kern = functools.partial(_occl_kernel, cpi=cpi, k=k, n_cols=n_cols,
-                             front_sign=float(front_sign))
+                             front_sign=float(front_sign),
+                             want_blocker=want_blocker)
     vspec = lambda d2, d3: pl.BlockSpec(  # noqa: E731
         (1, d2, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sspec = lambda d3: pl.BlockSpec(  # noqa: E731
         (1, 1, d3), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    n_out = 2 if want_blocker else 1
     out = pl.pallas_call(
         kern,
         grid=(tiles,),
@@ -407,10 +442,10 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
             vspec(1, r),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[vspec(1, r)],
+        out_specs=[vspec(1, r)] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct((tiles, 1, r), jnp.int32),
-        ],
+        ] * n_out,
         scratch_shapes=[
             pltpu.VMEM((SLOTS, 16, cpi * k), jnp.float32),
             pltpu.SemaphoreType.DMA((SLOTS,)),
@@ -418,4 +453,6 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
         interpret=interpret,
     )(st[:, None, :], si[:, None, :], rays.reshape(tiles, 6, r),
       t_max_rays[:, None, :], blocks_t)
+    if want_blocker:
+        return out[0][:, 0, :], out[1][:, 0, :]
     return out[0][:, 0, :]

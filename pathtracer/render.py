@@ -38,9 +38,11 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
 
-        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
+        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0,
+                        want_blocker=False):
             return isect.occluded_brute(o, d, t_max, v0, v1, v2,
-                                        front_sign=front_sign)
+                                        front_sign=front_sign,
+                                        want_blocker=want_blocker)
     elif cfg.intersector == "cluster":
         if scene.clusters is None:
             raise ValueError(
@@ -104,7 +106,8 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                                              group=int(grp) if grp
                                              else None)
 
-        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
+        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0,
+                        want_blocker=False):
             # The default chunk is now the whole wavefront (global sort
             # pool - see kernels/packet.CHUNK_TILES), so the old 131k
             # special case for bounce 0's fully-live shadow batch is
@@ -133,7 +136,8 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                                             schedule_far=sched_far,
                                             morton_end=m_end,
                                             group=int(grp) if grp
-                                            else None)
+                                            else None,
+                                            want_blocker=want_blocker)
     else:
         if scene.bvh is None:
             raise ValueError(
@@ -145,9 +149,15 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return traverse.intersect_packed(packed, o, d, t_min, t_max)
 
-        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0):
-            return traverse.occluded_packed(packed, o, d, t_max,
-                                            front_sign=front_sign)
+        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0,
+                        want_blocker=False):
+            blocked = traverse.occluded_packed(packed, o, d, t_max,
+                                               front_sign=front_sign)
+            if want_blocker:
+                # BVH backend reports no blocker ids: hints stay empty
+                # (priming then never accelerates, still exact).
+                return blocked, jnp.full(o.shape[:1], -1, jnp.int32)
+            return blocked
 
     return intersect_fn, occluded_fn
 
@@ -178,7 +188,8 @@ def _unswizzle_image(img_flat, w: int, h: int):
     return img.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
 
 
-def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri):
+def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri,
+                        prime_blk=None):
     intersect_fn, occluded_fn = make_intersectors(scene, cfg)
     w, h = cfg.width, cfg.height
     n = w * h
@@ -193,7 +204,7 @@ def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri):
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
     radiance, pix_out, rays, prime_out = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn,
-        prime_tri=prime_tri)
+        prime_tri=prime_tri, prime_blk=prime_blk)
     # Lanes come back in the last bounce's wavefront order; one scatter by
     # the riding pixel ids lands them row-major (this also absorbs the
     # un-swizzle of the pixel-block layout).
@@ -217,16 +228,18 @@ def render_sample(scene: Scene, cfg: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_sample_primed(scene: Scene, cfg: RenderConfig,
-                         cam: cam_mod.CameraState, frame_idx, s, prime_tri):
-    """render_sample + verified primary-hit priming (path.trace_paths).
+                         cam: cam_mod.CameraState, frame_idx, s, prime_tri,
+                         prime_blk):
+    """render_sample + verified priming (path.trace_paths).
 
     prime_tri: i32[W*H] previous sample's primary hit per pixel (-1 =
-    none). Returns (radiance, rays, this sample's primary hits) - chain
-    across the spp loop. Same estimator as render_sample; only float
-    rounding of the primary hit record can differ (the prediction is
-    re-verified, never trusted).
+    none); prime_blk: i32[W*H] previous sample's verified bounce-0 NEE
+    blocker per pixel. Returns (radiance, rays, (tri, blk) hints for the
+    next sample) - chain across the spp loop. Same estimator as
+    render_sample: predictions are re-verified, never trusted.
     """
-    return _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri)
+    return _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri,
+                               prime_blk)
 
 
 def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
@@ -251,9 +264,10 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
     for s in range(cfg.spp):
         if priming:
             if prime is None:
-                prime = jnp.full((cfg.width * cfg.height,), -1, jnp.int32)
+                none = jnp.full((cfg.width * cfg.height,), -1, jnp.int32)
+                prime = (none, none)
             r, k, prime = render_sample_primed(scene, cfg, cam,
-                                               frame_idx, s, prime)
+                                               frame_idx, s, *prime)
         else:
             r, k = render_sample(scene, cfg, cam, frame_idx, s)
         radiance = r if radiance is None else radiance + r

@@ -249,3 +249,40 @@ def test_mixed_key_scheme_matches(random_tri_soup, random_rays, monkeypatch):
     oc = np.asarray(occluded_clusters(accel, jnp.asarray(o), jnp.asarray(d),
                                       t_max, chunk_rays=128, sort_rays=True))
     np.testing.assert_array_equal(oc, ob)
+
+
+def test_occluded_blocker_hints(random_tri_soup, random_rays):
+    """want_blocker: blocked bits unchanged; hints are REAL blockers.
+
+    Any-hit semantics leave WHICH blocker unspecified, so the contract is:
+    (a) the blocked mask equals the plain call and the brute oracle, and
+    (b) every returned id re-verifies as a front-facing hit inside the
+    segment (the property shadow priming relies on).
+    """
+    from pathtracer.kernels.intersect import ray_triangle
+    from pathtracer.utils import vmath
+
+    v0, v1, v2 = (jnp.asarray(a) for a in random_tri_soup)
+    o, d = (jnp.asarray(a) for a in random_rays)
+    accel = build_clusters(v0, v1, v2, max_clusters=16)
+    t_max = jnp.full(o.shape[0], 2.0, jnp.float32)
+    ob = occluded_brute(o, d, t_max, v0, v1, v2)
+    bl, btri = occluded_clusters(accel, o, d, t_max, chunk_rays=128,
+                                 sort_rays=True, want_blocker=True)
+    np.testing.assert_array_equal(np.asarray(bl), np.asarray(ob))
+    bl_np, bt_np = np.asarray(bl), np.asarray(btri)
+    assert (bt_np[bl_np] >= 0).all()
+    assert (bt_np[~bl_np] == -1).all()
+    # re-verify each hint: front-facing hit strictly inside the segment
+    idx = jnp.asarray(np.maximum(bt_np, 0))
+    t, _, _, ok = ray_triangle(o, d, v0[idx], v1[idx], v2[idx], 0.0, t_max)
+    gn = vmath.cross(v1[idx] - v0[idx], v2[idx] - v0[idx])
+    front = vmath.dot(d, gn) < 0.0
+    verified = np.asarray(ok & front)
+    assert verified[bl_np].all()
+
+    # brute's want_blocker honors the same contract
+    ob2, obt = occluded_brute(o, d, t_max, v0, v1, v2, want_blocker=True)
+    np.testing.assert_array_equal(np.asarray(ob2), np.asarray(ob))
+    obt_np = np.asarray(obt)
+    assert (obt_np[np.asarray(ob)] >= 0).all()

@@ -156,3 +156,27 @@ def test_pallas_group_fetch_matches(monkeypatch):
                                           jnp.asarray(d), t_max,
                                           backend="pallas"))
         np.testing.assert_array_equal(op, obr)
+
+
+def test_pallas_occlusion_blocker_hints():
+    """want_blocker through the Pallas kernel (interpret mode on CPU):
+    blocked bits unchanged, hints re-verify as real in-segment blockers."""
+    from pathtracer.kernels.intersect import ray_triangle
+    from pathtracer.utils import vmath
+
+    v0, v1, v2 = (jnp.asarray(a) for a in _soup(300))
+    o, d = (jnp.asarray(a) for a in _rays(700))
+    accel = build_clusters(v0, v1, v2, max_clusters=16)
+    t_max = jnp.full(len(o), 2.0, jnp.float32)
+    obr = np.asarray(occluded_brute(o, d, t_max, v0, v1, v2))
+    bl, btri = occluded_clusters(accel, o, d, t_max, backend="pallas",
+                                 want_blocker=True)
+    bl_np, bt_np = np.asarray(bl), np.asarray(btri)
+    np.testing.assert_array_equal(bl_np, obr)
+    assert (bt_np[bl_np] >= 0).all()
+    assert (bt_np[~bl_np] == -1).all()
+    idx = jnp.asarray(np.maximum(bt_np, 0))
+    t, _, _, ok = ray_triangle(o, d, v0[idx], v1[idx], v2[idx], 0.0, t_max)
+    gn = vmath.cross(v1[idx] - v0[idx], v2[idx] - v0[idx])
+    front = vmath.dot(d, gn) < 0.0
+    assert np.asarray(ok & front)[bl_np].all()

@@ -198,4 +198,7 @@ def test_primary_priming_cross_frame_exact():
         fb, fp = rb.step(), rp.step()
     np.testing.assert_allclose(np.asarray(fp.accum), np.asarray(fb.accum),
                                rtol=1e-5, atol=1e-6)
-    assert rp._prime is not None and int(jnp.max(rp._prime)) >= 0
+    assert rp._prime is not None
+    tri_h, blk_h = rp._prime
+    assert int(jnp.max(tri_h)) >= 0          # primary hits recorded
+    assert int(jnp.max(blk_h)) >= 0          # some shadow blockers found
