@@ -1,0 +1,45 @@
+#!/bin/bash
+# One-window measurement roundup: runs every pending A/B serially on the
+# chip (NEVER run two TPU jobs at once - CLAUDE.md) and logs to
+# /tmp/roundup_<ts>.log. Designed to survive tunnel flakiness: each stage
+# is bounded and failures don't stop later stages.
+#
+# Usage: bash benchmarks/roundup.sh [quick]
+#   quick = smaller frame counts for a fast first pass.
+
+set -u
+cd "$(dirname "$0")/.."
+TS=$(date +%H%M%S)
+LOG=${ROUNDUP_LOG:-/tmp/roundup_$TS.log}
+Q=${1:-full}
+echo "roundup -> $LOG (mode=$Q)" | tee "$LOG"
+
+run() {  # run <label> <timeout_s> <cmd...>
+    local label=$1 to=$2; shift 2
+    echo "=== $label ($(date +%T)) ===" | tee -a "$LOG"
+    timeout "$to" "$@" >> "$LOG" 2>&1
+    echo "--- rc=$? ---" | tee -a "$LOG"
+}
+
+# 0. chip sanity (fail fast if the tunnel is down)
+run chip-sanity 180 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))" || true
+grep -q "1024.0" "$LOG" || { echo "TUNNEL DOWN - aborting" | tee -a "$LOG"; exit 1; }
+
+# 1. fetch-group grid on the headline frame (1 spp; ~6 entries)
+#    entries: CHUNK_TILES:closest_db:cpi:fetch_group
+GRID_FG="2048:3:-:-,2048:3:-:2,2048:3:-:4,2048:3:24:2,2048:3:8:-,2048:3:16:2"
+run fetch-group-grid 5400 env GRID="$GRID_FG" python benchmarks/frame_ab.py
+
+# 2. mixed coherence key A/B (same harness, key scheme via env)
+run mixed-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=mixed python benchmarks/frame_ab.py
+
+# 3. priming A/B (spp=4 frames, chained hints)
+SPP=4; [ "$Q" = quick ] && SPP=2
+run priming 4500 env BENCH_SPP=$SPP python benchmarks/priming_ab.py
+
+# 4. headline bench refresh (textured, default knobs)
+FRAMES=8; [ "$Q" = quick ] && FRAMES=3
+run bench-textured 5400 env BENCH_FRAMES=$FRAMES python bench.py
+run bench-untextured 5400 env BENCH_FRAMES=$FRAMES BENCH_TEXTURED=0 python bench.py
+
+echo "ROUNDUP DONE $(date +%T)" | tee -a "$LOG"
