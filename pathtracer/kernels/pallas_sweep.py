@@ -273,7 +273,11 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
             new = (any_hit > 0) & (blocked == 0)
 
             def record(btri):
-                j = jnp.argmax(hit, axis=1, keepdims=True)
+                # mirror _sweep_kernel's extraction pattern exactly
+                # (f32 argmin + iota one-hot): argmax over an i1 vector
+                # is not a Mosaic-proven idiom
+                th = jnp.where(hit, t, jnp.inf)
+                j = jnp.argmin(th, axis=1, keepdims=True)
                 lane = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
                 tid = jnp.round(block[tid_row, :].reshape(1, -1)) \
                     .astype(jnp.int32) - 1
