@@ -354,7 +354,7 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
 
 def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
          pixel, sample, depth, occluded_fn, shade=None, primary=False,
-         prime_blk=None):
+         prime_blk=None, verify_rows=None):
     """Next-event estimation (raygen.rgen:168-261). Returns contrib/T [N,3].
 
     view = unit vector from surface toward the previous vertex (-ray dir).
@@ -425,7 +425,11 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
         from pathtracer.kernels import intersect as isect
 
         bi = jnp.maximum(prime_blk, 0)
-        bv0, bv1, bv2 = scene.tri_vertices(bi)
+        if verify_rows is not None:   # one wide gather (see trace_paths)
+            brow = verify_rows[bi]
+            bv0, bv1, bv2 = brow[:, 0:3], brow[:, 3:6], brow[:, 6:9]
+        else:
+            bv0, bv1, bv2 = scene.tri_vertices(bi)
         tb, _, _, okb = isect.ray_triangle(s_orig, s_dir, bv0, bv1, bv2,
                                            0.0, s_tmax)
         gnb = vmath.cross(bv1 - bv0, bv2 - bv0)
@@ -541,6 +545,16 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     # Captures the primary segment's hits + bounce-0 blockers (pixel
     # order) when priming is on; filled inside the primary bounce.
     prime_state = {"out": None, "blk": None}
+    verify_rows = None
+    if prime_tri is not None or prime_blk is not None:
+        # One wide [T, 9] row (v0|v1|v2) per triangle, packed once per
+        # trace: hint verification then costs ONE wide-row gather per
+        # hint instead of 4 narrow ones (indices + 3 corners) - wide
+        # rows amortize gather latency (docs/PERF.md 0.10 texture
+        # measurements: 12-byte row 12.3 ms vs 3x 4-byte taps 69 ms at
+        # 2M lanes).
+        tv0, tv1, tv2 = scene.tri_vertices(jnp.arange(scene.n_tris))
+        verify_rows = jnp.concatenate([tv0, tv1, tv2], axis=1)
 
     def segment(carry, depth, primary=False):
         """Trace + emission collection shared by every bounce (incl. last)."""
@@ -577,7 +591,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             from pathtracer.kernels import intersect as isect
 
             pt = prime_tri[pix]
-            pv0, pv1, pv2 = scene.tri_vertices(jnp.maximum(pt, 0))
+            prow = verify_rows[jnp.maximum(pt, 0)]
+            pv0, pv1, pv2 = prow[:, 0:3], prow[:, 3:6], prow[:, 6:9]
             tp, up, vp, okp = isect.ray_triangle(
                 o_eff, d_eff, pv0, pv1, pv2, cfg.t_min, cfg.t_max)
             okp = okp & (pt >= 0)
@@ -692,7 +707,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 # swizzle); verified blocks park out of traversal.
                 nee, new_blk = _nee(scene, cfg, surf, view, pix, samp,
                                     depth, occluded_fn, shade, primary,
-                                    prime_blk=prime_blk[pix])
+                                    prime_blk=prime_blk[pix],
+                                    verify_rows=verify_rows)
                 if new_blk is not None:
                     prime_state["blk"] = jnp.full(
                         prime_blk.shape, -1, jnp.int32).at[pix].set(
