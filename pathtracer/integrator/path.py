@@ -319,11 +319,14 @@ def _power_heuristic(pdf_a, pdf_b):
 
 def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
              pixel, sample, depth, occluded_fn, shade=None,
-             primary=False):
+             primary=False, prime_blk=None, verify_rows=None):
     """Environment-map NEE with MIS (net-new; BASELINE config 4).
 
     One shadow ray toward a luminance-importance-sampled env direction.
-    Returns (contrib/T [N,3]).
+    Returns (contrib/T [N,3]); with prime_blk, (contrib, new_blk) - the
+    same verified-blocker cache as _nee (sky shadow rays in enclosed
+    regions re-verify the same occluder across samples even though the
+    sampled direction varies).
     """
     from pathtracer.scene import envlight
 
@@ -337,10 +340,30 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
 
     s_orig = surf.position + surf.normal * cfg.shadow_eps
     valid = ok if shade is None else (ok & shade)
-    s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead lanes
-    l_dir_eff = jnp.where(valid[..., None], l_dir, 1.0)
-    blocked = occluded_fn(s_orig, l_dir_eff, jnp.full(
-        l_dir.shape[:-1], 1e18, jnp.float32))
+    s_tmax = jnp.full(l_dir.shape[:-1], 1e18, jnp.float32)
+    new_blk = None
+    if prime_blk is not None:
+        from pathtracer.kernels import intersect as isect
+
+        bi = jnp.maximum(prime_blk, 0)
+        brow = verify_rows[bi]
+        bv0, bv1, bv2 = brow[:, 0:3], brow[:, 3:6], brow[:, 6:9]
+        tb, _, _, okb = isect.ray_triangle(s_orig, l_dir, bv0, bv1, bv2,
+                                           0.0, s_tmax)
+        frontb = vmath.dot(
+            l_dir, vmath.cross(bv1 - bv0, bv2 - bv0)) < 0.0
+        ver = okb & frontb & (prime_blk >= 0) & valid
+        need = valid & ~ver
+        o_t = jnp.where(need[..., None], s_orig, 1e30)
+        d_t = jnp.where(need[..., None], l_dir, 1.0)
+        blocked_tr, btri = occluded_fn(o_t, d_t, s_tmax, primary=primary,
+                                       want_blocker=True)
+        new_blk = jnp.where(need & blocked_tr, btri, prime_blk)
+        blocked = ver | blocked_tr
+    else:
+        s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead
+        l_dir_eff = jnp.where(valid[..., None], l_dir, 1.0)
+        blocked = occluded_fn(s_orig, l_dir_eff, s_tmax)
 
     le = sky_mod.envmap_radiance(scene.envmap, l_dir)
     f = mf.eval_brdf(surf.normal, view, l_dir, surf.albedo, surf.metallic,
@@ -349,7 +372,8 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
                         surf.roughness)
     w = _power_heuristic(p_env, pdf_b)
     contrib = f * le * (n_dot_l * w / jnp.maximum(p_env, 1e-12))[..., None]
-    return jnp.where((ok & ~blocked)[..., None], contrib, 0.0)
+    out = jnp.where((ok & ~blocked)[..., None], contrib, 0.0)
+    return (out, new_blk) if prime_blk is not None else out
 
 
 def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
@@ -506,7 +530,7 @@ def _wavefront_order(scene: Scene, o, d, active):
 def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
                 intersect_fn: Callable, occluded_fn: Callable,
-                prime_tri=None, prime_blk=None):
+                prime=None):
     """Trace a batch of paths to completion.
 
     Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
@@ -518,18 +542,15 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     active masks (SURVEY.md par.5 "Tracing": Mrays/s from real ray
     counts, not upper bounds).
 
-    prime_tri: optional i32[n_pixels] triangle hint per PIXEL (-1 =
-    none), e.g. the previous sample's primary hits. The primary segment
-    re-tests the hinted triangle first (an exact, verified prediction:
-    temporal coherence of camera rays under progressive accumulation)
-    and traverses with the verified hit distance as the per-ray t_max -
-    schedules shrink to clusters strictly in front of the hit. When
-    given, prime_out returns THIS sample's primary hits in pixel order
-    (i32[n_pixels]); otherwise prime_out is None.
-
-    prime_blk: optional i32[n_pixels] blocker hint per PIXEL for the
-    bounce-0 NEE shadow query (see _nee). When given, prime_out is the
-    pair (primary_hits, blocker_hints), both i32[n_pixels] pixel-order.
+    prime: optional i32[n_pixels, 3] per-PIXEL hint columns from the
+    previous sample (-1 = none), all verified-never-trusted (exact):
+      [:, 0] primary hit triangle - re-tested, its hit distance becomes
+             the per-ray t_max so primary schedules shrink to clusters
+             strictly in front of the verified hit;
+      [:, 1] bounce-0 NEE shadow blocker (see _nee) - a re-verified
+             blocker resolves the any-hit query with no traversal;
+      [:, 2] bounce-0 env-NEE shadow blocker (see _nee_env).
+    When given, prime_out returns THIS sample's hints, same layout.
 
     intersect_fn(o, d, t_min, t_max) -> Hit
     occluded_fn(o, d, t_max) -> bool[N]
@@ -544,9 +565,12 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     surf_rows = pack_surface_rows(scene)
     # Captures the primary segment's hits + bounce-0 blockers (pixel
     # order) when priming is on; filled inside the primary bounce.
-    prime_state = {"out": None, "blk": None}
+    prime_tri = prime[:, 0] if prime is not None else None
+    prime_blk = prime[:, 1] if prime is not None else None
+    prime_env = prime[:, 2] if prime is not None else None
+    prime_state = {"out": None, "blk": None, "envb": None}
     verify_rows = None
-    if prime_tri is not None or prime_blk is not None:
+    if prime is not None:
         # One wide [T, 9] row (v0|v1|v2) per triangle, packed once per
         # trace: hint verification then costs ONE wide-row gather per
         # hint instead of 4 narrow ones (indices + 3 corners) - wide
@@ -720,8 +744,18 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 shade[..., None], throughput * nee, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
         if env_nee and not skip_nee:
-            env_c = _nee_env(scene, cfg, surf, view, pix, samp,
-                             depth, occluded_fn, shade, primary)
+            if primary and prime_env is not None:
+                env_c, new_envb = _nee_env(scene, cfg, surf, view, pix,
+                                           samp, depth, occluded_fn,
+                                           shade, primary,
+                                           prime_blk=prime_env[pix],
+                                           verify_rows=verify_rows)
+                prime_state["envb"] = jnp.full(
+                    prime_env.shape, -1, jnp.int32).at[pix].set(
+                        new_envb, unique_indices=True)
+            else:
+                env_c = _nee_env(scene, cfg, surf, view, pix, samp,
+                                 depth, occluded_fn, shade, primary)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * env_c, 0.0)
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
@@ -822,9 +856,11 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     carry, _ = segment(carry, cfg.max_depth - 1,
                        primary=(cfg.max_depth == 1))
     _, _, _, radiance, _, _, pix_out, _, rays_traced = carry
-    if prime_blk is not None:
-        blk = prime_state["blk"]
-        if blk is None:              # NEE never ran (no lights/depth 1)
-            blk = jnp.full_like(prime_blk, -1)
-        return radiance, pix_out, rays_traced, (prime_state["out"], blk)
-    return radiance, pix_out, rays_traced, prime_state["out"]
+    if prime is None:
+        return radiance, pix_out, rays_traced, None
+    none = jnp.full_like(prime_tri, -1)
+    cols = [prime_state["out"] if prime_state["out"] is not None else none,
+            prime_state["blk"] if prime_state["blk"] is not None else none,
+            prime_state["envb"] if prime_state["envb"] is not None
+            else none]
+    return radiance, pix_out, rays_traced, jnp.stack(cols, axis=1)

@@ -188,8 +188,7 @@ def _unswizzle_image(img_flat, w: int, h: int):
     return img.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
 
 
-def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri,
-                        prime_blk=None):
+def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime):
     intersect_fn, occluded_fn = make_intersectors(scene, cfg)
     w, h = cfg.width, cfg.height
     n = w * h
@@ -204,7 +203,7 @@ def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri,
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
     radiance, pix_out, rays, prime_out = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn,
-        prime_tri=prime_tri, prime_blk=prime_blk)
+        prime=prime)
     # Lanes come back in the last bounce's wavefront order; one scatter by
     # the riding pixel ids lands them row-major (this also absorbs the
     # un-swizzle of the pixel-block layout).
@@ -228,18 +227,16 @@ def render_sample(scene: Scene, cfg: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def render_sample_primed(scene: Scene, cfg: RenderConfig,
-                         cam: cam_mod.CameraState, frame_idx, s, prime_tri,
-                         prime_blk):
+                         cam: cam_mod.CameraState, frame_idx, s, prime):
     """render_sample + verified priming (path.trace_paths).
 
-    prime_tri: i32[W*H] previous sample's primary hit per pixel (-1 =
-    none); prime_blk: i32[W*H] previous sample's verified bounce-0 NEE
-    blocker per pixel. Returns (radiance, rays, (tri, blk) hints for the
-    next sample) - chain across the spp loop. Same estimator as
-    render_sample: predictions are re-verified, never trusted.
+    prime: i32[W*H, 3] previous sample's per-pixel hints (primary hit,
+    bounce-0 NEE blocker, bounce-0 env-NEE blocker; -1 = none). Returns
+    (radiance, rays, this sample's hints) - chain across the spp loop.
+    Same estimator as render_sample: predictions are re-verified, never
+    trusted.
     """
-    return _render_sample_impl(scene, cfg, cam, frame_idx, s, prime_tri,
-                               prime_blk)
+    return _render_sample_impl(scene, cfg, cam, frame_idx, s, prime)
 
 
 def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
@@ -264,10 +261,10 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
     for s in range(cfg.spp):
         if priming:
             if prime is None:
-                none = jnp.full((cfg.width * cfg.height,), -1, jnp.int32)
-                prime = (none, none)
+                prime = jnp.full((cfg.width * cfg.height, 3), -1,
+                                 jnp.int32)
             r, k, prime = render_sample_primed(scene, cfg, cam,
-                                               frame_idx, s, *prime)
+                                               frame_idx, s, prime)
         else:
             r, k = render_sample(scene, cfg, cam, frame_idx, s)
         radiance = r if radiance is None else radiance + r

@@ -199,6 +199,32 @@ def test_primary_priming_cross_frame_exact():
     np.testing.assert_allclose(np.asarray(fp.accum), np.asarray(fb.accum),
                                rtol=1e-5, atol=1e-6)
     assert rp._prime is not None
-    tri_h, blk_h = rp._prime
-    assert int(jnp.max(tri_h)) >= 0          # primary hits recorded
-    assert int(jnp.max(blk_h)) >= 0          # some shadow blockers found
+    assert int(jnp.max(rp._prime[:, 0])) >= 0  # primary hits recorded
+    assert int(jnp.max(rp._prime[:, 1])) >= 0  # shadow blockers found
+
+
+def test_env_nee_priming_exact():
+    """Env-NEE blocker priming (prime[:, 2]) changes nothing either."""
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import render_frame_with_stats
+
+    b = cornell_box()   # enclosed: env shadow rays mostly blocked
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    env = np.ones((8, 16, 3), np.float32)
+    env[2, 3] = 50.0                      # hotspot: importance matters
+    b.set_envmap(env)
+    scene = build_scene_clusters(b.finalize())
+    assert scene.n_tris > 256
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       sky="envmap", env_importance_sampling=True,
+                       intersector="cluster")
+    cfg_p = dataclasses.replace(cfg, primary_priming=True)
+    base, rays_b = render_frame_with_stats(scene, cfg, cam.state(), 0)
+    primed, rays_p = render_frame_with_stats(scene, cfg_p, cam.state(), 0)
+    np.testing.assert_allclose(np.asarray(primed), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(rays_p), float(rays_b), rtol=1e-6)
