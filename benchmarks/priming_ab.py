@@ -45,21 +45,30 @@ def main():
     for name, cfg in (("off", base),
                       ("primed", dataclasses.replace(
                           base, primary_priming=True))):
-        img, rays = render_frame_with_stats(scene, cfg, cs, 0)
+        prime = None
+        img, rays, prime = render_frame_with_stats(scene, cfg, cs, 0,
+                                                   prime, True)
         float(jnp.sum(img))
         for _ in range(2):
-            img, rays = render_frame_with_stats(scene, cfg, cs, 0)
+            img, rays, prime = render_frame_with_stats(
+                scene, cfg, cs, 0, prime, True)
             float(jnp.sum(img))
         t0 = time.perf_counter()
         reps = 2
         for _ in range(reps):
-            img, rays = render_frame_with_stats(scene, cfg, cs, 0)
+            img, rays, prime = render_frame_with_stats(
+                scene, cfg, cs, 0, prime, True)
             s = float(jnp.sum(img))
         dt = (time.perf_counter() - t0) / reps
         r = float(rays)
+        stats = ""
+        if prime is not None:
+            frac = [float(jnp.mean((prime[:, i] >= 0))) for i in range(3)]
+            stats = (f" hints: tri={frac[0]:.2f}"
+                     f" blk={frac[1]:.2f} envb={frac[2]:.2f}")
         print(f"{name}: {dt*1000:.0f} ms/frame ({dt*1000/spp:.0f} ms/sample)"
               f" rays/sample={r/spp/1e6:.2f}M"
-              f" Mrays/s={r/dt/1e6:.2f} mean={s/(w*h*3):.4f}",
+              f" Mrays/s={r/dt/1e6:.2f} mean={s/(w*h*3):.4f}{stats}",
               flush=True)
 
 
