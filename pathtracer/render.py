@@ -313,7 +313,11 @@ class Renderer:
 
     def reset(self):
         self.film = film_mod.new_film(self.cfg.width, self.cfg.height)
-        self._prime = None        # camera moved: predictions are stale
+        # NOTE: self._prime is deliberately KEPT across camera moves -
+        # hints are re-verified against the new rays, so stale ones cost
+        # one cheap dense test and fresh ones (small motions leave most
+        # pixels on the same surface) still shortcut traversal. Exactness
+        # is camera-independent.
 
     def step(self) -> film_mod.Film:
         if self.camera.moved:
