@@ -47,8 +47,13 @@ def main():
     scene = sponza_like(target_tris=tris, textured=textured).finalize()
     scene = build_scene_clusters(scene)
 
+    # BENCH_PRIMING=1 enables verified primary-hit + blocker priming
+    # (config.primary_priming) - flip the default once the on-chip A/B
+    # (benchmarks/priming_ab.py) lands.
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=6,
-                       intersector="cluster")
+                       intersector="cluster",
+                       primary_priming=os.environ.get(
+                           "BENCH_PRIMING", "0") != "0")
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
 

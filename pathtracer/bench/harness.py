@@ -52,15 +52,18 @@ def bench_scene(scene: Scene, cfg: RenderConfig, camera: Camera,
     """
     cam = camera.state()
 
+    prime = None   # priming hints chain across frames (Renderer.step)
     for i in range(warmup):
-        img, rays = render_frame_with_stats(scene, cfg, cam, i)
+        img, rays, prime = render_frame_with_stats(scene, cfg, cam, i,
+                                                   prime, True)
         float(rays)                    # full sync: flush first-run effects
     jax.block_until_ready(img)
 
     total_rays = 0.0
     t0 = time.perf_counter()
     for i in range(frames):
-        img, rays = render_frame_with_stats(scene, cfg, cam, warmup + i)
+        img, rays, prime = render_frame_with_stats(
+            scene, cfg, cam, warmup + i, prime, True)
         total_rays += float(rays)  # blocks on the scalar; frame-granular
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
