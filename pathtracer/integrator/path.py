@@ -70,11 +70,17 @@ def _sample_texture(textures, tex_wh, tex_id, u, v, tex_u=None):
 
     tex_u = (ux, uy) uniforms enables STOCHASTIC bilinear: jitter the
     texel coordinate by the uniform and take ONE nearest tap -
-    P(pick x0+1) = frac(x), so the expectation over the RNG is exactly
-    the bilinear kernel. Texture gathers are latency-bound at ~20+ ms
-    per 2M-lane tap on v5e (docs/PERF.md round-2 log), so 1 tap vs 4
-    is the difference between textures costing 25% and 100%+ of a
-    frame; the noise converges with spp like every other MC estimator.
+    P(pick x0+1) = frac(x), so the TAP expectation equals the bilinear
+    blend of the stored (sRGB) texels. NOTE the pixel estimator is not
+    identical to the 4-tap path's: the sRGB decode (**2.2) and the BRDF
+    are applied per-tap, and E[f(tap)] != f(E[tap]) through those
+    nonlinearities - a small convex bias toward brighter values exists
+    exactly at hard texel edges (elsewhere neighboring texels are close
+    and the curvature term is negligible). Texture gathers are
+    latency-bound at ~20+ ms per 2M-lane tap on v5e (docs/PERF.md
+    round-2 log), so 1 tap vs 4 is the difference between textures
+    costing 25% and 100%+ of a frame; cfg.stochastic_texture_filtering
+    = False selects the reference's exact deterministic sampler.
     """
     tid = jnp.maximum(tex_id, 0)
     wh = tex_wh[tid]                                  # [N, 2]
@@ -166,7 +172,7 @@ def pack_surface_rows(scene: Scene) -> jnp.ndarray:
 
 
 def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
-                  quirks: bool, tex_u=None) -> Surface:
+                  quirks: bool, tex_u=None, mat_rows=None) -> Surface:
     """Closest-hit stage: attribute fetch + interpolation.
 
     Re-derivation of closesthit.rchit:68-125 as ONE wide row-gather (see
@@ -195,7 +201,9 @@ def fetch_surface(scene: Scene, surf_rows, hit: Hit, o, d,
     geom_normal = row[:, 15:18]
 
     mid = jnp.round(row[:, 18]).astype(jnp.int32) - 1
-    mrow = pack_material_rows(scene)[mid]         # [N, 16] single gather
+    if mat_rows is None:   # callers inside loops pass the hoisted pack
+        mat_rows = pack_material_rows(scene)
+    mrow = mat_rows[mid]                          # [N, 16] single gather
     albedo = mrow[:, 0:3]
     emission = mrow[:, 3:6]
     roughness = mrow[:, 6]
@@ -538,9 +546,14 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     re-permuted once per bounce (see _wavefront_order), so radiance comes
     back in the LAST bounce's order - callers scatter by pixel_ids_out
     (which ride along in the carry). The ray counter is exact - path rays
-    actually traced plus NEE shadow rays - a free by-product of the
-    active masks (SURVEY.md par.5 "Tracing": Mrays/s from real ray
-    counts, not upper bounds).
+    actually traced plus NEE visibility QUERIES RESOLVED - a free
+    by-product of the active masks (SURVEY.md par.5 "Tracing": Mrays/s
+    from real counts, not upper bounds). Counter semantics under
+    priming: a hint-verified shadow query counts exactly like a traced
+    one (it resolves the same query the reference answers with a
+    rayQueryEXT walk), so the count is invariant to priming on/off -
+    pinned by tests - and speedups appear in time, never in the
+    numerator.
 
     prime: optional i32[n_pixels, 3] per-PIXEL hint columns from the
     previous sample (-1 = none), all verified-never-trusted (exact):
@@ -563,6 +576,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     # One wide attribute row per triangle, packed once per frame (XLA CSEs
     # the O(T) pack across bounces); see pack_surface_rows.
     surf_rows = pack_surface_rows(scene)
+    mat_rows = pack_material_rows(scene)   # hoisted out of the bounce loop
     # Captures the primary segment's hits + bounce-0 blockers (pixel
     # order) when priming is on; filled inside the primary bounce.
     prime_tri = prime[:, 0] if prime is not None else None
@@ -584,7 +598,10 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         """Trace + emission collection shared by every bounce (incl. last)."""
         o, d, throughput, radiance, active, prev_pdf, pix, samp, \
             rays_traced = carry
-        if do_sort:
+        if do_sort and not primary:
+            # bounce 0 keeps its swizzled pixel-block order (tighter than
+            # any key - the same reason the packet layer skips sorting
+            # primaries, render.py intersect_fn)
             # ONE argsort + two row-gathers per bounce replaces the packet
             # layer's per-chunk/per-call coherence sorts (docs/PERF.md
             # par.3.1: per-chunk prep was ~40% of deep-bounce frames) and
@@ -657,14 +674,15 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         active = hit_ok
 
         if scene.has_textures and cfg.stochastic_texture_filtering:
-            # one shared jitter pair per (lane, bounce): each of the three
-            # texture taps is an unbiased 1-tap bilinear estimate
+            # one shared jitter pair per (lane, bounce): each of the
+            # three texture taps is a 1-tap estimate of the sRGB-space
+            # bilinear value (see _sample_texture for the bias caveat)
             tex_u = rng.uniform2(pix, samp, depth, rng.SALT_TEX_FILTER,
                                  cfg.seed)
         else:
             tex_u = None
         surf = fetch_surface(scene, surf_rows, hit, o, d,
-                             cfg.reference_quirks, tex_u)
+                             cfg.reference_quirks, tex_u, mat_rows)
 
         # --- emitter hit (raygen.rgen:132) ---
         if cfg.reference_quirks:

@@ -511,7 +511,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
             # per-ray t_max already rides in t_cap; the kernel-constant
             # t_max is unused by the sweep (best_t starts at t_cap)
             t, tri, u, v = pallas_sweep.sweep_closest(
-                st, si, rays6, t_cap, blocks_sweep, t_min, 1e30,
+                st, si, rays6, t_cap, blocks_sweep, t_min,
                 interpret=_pallas_interpret())
             t = jnp.where(tri >= 0, t, jnp.inf)
             return _unsort_hit(t, tri, u, v, n, inv if sort_rays else None)

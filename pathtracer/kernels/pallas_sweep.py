@@ -85,7 +85,7 @@ def _bw_lane(block, rays, t_min, best_t):
 
 def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
                   t_ref, tri_ref, u_ref, v_ref,
-                  scratch, sems, *, cpi, k, t_min, t_max, n_cols,
+                  scratch, sems, *, cpi, k, t_min, n_cols,
                   gate_extract=False):
     r = rays_ref.shape[2]
     rays = rays_ref[0]                      # [6, R]
@@ -356,14 +356,15 @@ def _pad_cols(st, si, cpi):
     return st, si
 
 
-def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
+def sweep_closest(st, si, rays, t_cap, blocks_t, t_min,
                   interpret=False):
     """Run the closest-hit sweep kernel over all tiles.
 
     st: f32[tiles, Cs] sorted schedule distances (inf-padded, Cs % cpi == 0)
     si: i32[tiles, Cs] matching cluster ids (pads clamped to 0)
     rays: f32[tiles, 6, R]; blocks_t: f32[C, 16, K] (Baldwin-Weber rows).
-    Returns (t, tri, u, v) each [tiles, R].
+    Returns (t, tri, u, v) each [tiles, R]. The per-ray upper bound rides
+    in t_cap (best_t is seeded from it); there is no scalar t_max.
     """
     import os
 
@@ -379,7 +380,7 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min, t_max,
     # sweeps test many columns that improve no ray, and each skip saves
     # the argmin + three one-hot reductions for a ~0.4us branch.
     kern = functools.partial(_sweep_kernel, cpi=cpi, k=k,
-                             t_min=float(t_min), t_max=float(t_max),
+                             t_min=float(t_min),
                              n_cols=n_cols,
                              gate_extract=os.environ.get(
                                  "PT_SWEEP_GATE", "1") != "0")

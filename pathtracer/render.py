@@ -116,7 +116,6 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             # 18.7 vs 19.3 s/sample post-fix).
             import os
 
-            chunk = None
             a = accel_fine if os.environ.get(
                 "PT_OCCL_ACCEL") == "fine" else accel
             # Reversed (light->surface) shadow rays: blockers sit near
@@ -131,7 +130,6 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
             return packet.occluded_clusters(a, o, d, t_max,
                                             backend=backend,
                                             sort_rays=sort_rays,
-                                            chunk_rays=chunk,
                                             front_sign=front_sign,
                                             schedule_far=sched_far,
                                             morton_end=m_end,
@@ -180,12 +178,6 @@ def _swizzled_pixel_ids(w: int, h: int):
     y = ys[:, None, :, None]                       # [by, 1, iy, 1]
     x = xs[None, :, None, :]                       # [1, bx, 1, ix]
     return (y * w + x).reshape(-1).astype(jnp.int32)
-
-
-def _unswizzle_image(img_flat, w: int, h: int):
-    """Invert _swizzled_pixel_ids ordering: [N, 3] lanes -> [H, W, 3]."""
-    img = img_flat.reshape(h // BLOCK_H, w // BLOCK_W, BLOCK_H, BLOCK_W, 3)
-    return img.transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
 
 
 def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime):

@@ -110,6 +110,11 @@ def read_hdr(path: str) -> np.ndarray:
                 pos += 4
                 if px[0] == 1 and px[1] == 1 and px[2] == 1:
                     count = int(px[3]) << shift
+                    # malformed: a repeat with nothing to repeat, or one
+                    # running past the scanline (native decoder errors
+                    # identically, pathtracer_native.cpp pt_hdr_decode)
+                    if x == 0 or x + count > w:
+                        raise ValueError("corrupt .hdr: bad RLE repeat")
                     row[x:x + count] = row[x - 1]
                     x += count
                     shift += 8
