@@ -167,6 +167,10 @@ def main(argv=None):
     ap.add_argument("--traversal-backend", default="pallas",
                     choices=["pallas", "xla"],
                     help="cluster-sweep execution engine")
+    ap.add_argument("--interactive", action="store_true",
+                    help="terminal viewer: ANSI truecolor preview, "
+                         "WASD+arrow camera, accumulation resets on "
+                         "movement (the reference's windowed loop)")
     ap.add_argument("--orbit", action="store_true",
                     help="orbit the camera (resets accumulation per frame)")
     ap.add_argument("--out", default="out.png",
@@ -201,6 +205,17 @@ def main(argv=None):
         r.camera.moved = False
         if not args.quiet:
             print(f"resumed at frame {int(r.film.frame)}")
+
+    if args.interactive:
+        from pathtracer import viewer
+
+        n = viewer.run_interactive(r)
+        if not args.quiet:
+            print(f"rendered {n} frames")
+        r.save_png(args.out)
+        if args.checkpoint:
+            fm.save_checkpoint(args.checkpoint, r.film)
+        return
 
     orbit_dir = None
     if args.orbit:

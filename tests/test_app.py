@@ -90,3 +90,25 @@ def test_textured_sponza_smoke():
     img = np.asarray(render_frame(scene, cfg, cam.state(), 0))
     assert np.isfinite(img).all()
     assert img.mean() > 0.0
+
+
+def test_viewer_ansi_formatter():
+    """Terminal frame formatter: shape, truecolor SGRs, no tty needed."""
+    import numpy as np
+
+    from pathtracer.viewer import downsample, frame_to_ansi
+
+    img = np.zeros((32, 48, 3), np.float32)
+    img[:16] = [255, 0, 0]          # top half red
+    img[16:] = [0, 255, 0]          # bottom half green
+    small = downsample(img, 24, 8)
+    assert small.shape == (8, 24, 3)
+    np.testing.assert_allclose(small[0, 0], [255, 0, 0])
+    np.testing.assert_allclose(small[-1, -1], [0, 255, 0])
+
+    txt = frame_to_ansi(img, cols=24, rows=4)
+    lines = txt.split("\n")
+    assert len(lines) == 4
+    assert "\x1b[38;2;255;0;0m" in lines[0]       # red fg in the top row
+    assert "\x1b[48;2;0;255;0m" in lines[-1]      # green bg in the bottom
+    assert lines[0].count("▀") == 24
