@@ -165,6 +165,35 @@ def _mixed_key(m, m_bits: int, d, dir_bits: int):
     return key
 
 
+def _first_cluster(accel: ClusterAccel, o, d):
+    """Per-ray nearest-cluster id + entry distance (the schedule prefix).
+
+    argmin over clusters of the slab-test entry distance - i.e. the first
+    cluster the ray's own near-to-far schedule would visit. Blocked over
+    CULL_BLOCK clusters like _tile_cull; parked rays get id 0 / inf.
+    """
+    n = o.shape[0]
+    inv = _safe_inv(d)
+    c = accel.aabb_lo.shape[0]
+    best_t = jnp.full((n,), jnp.inf, jnp.float32)
+    best_i = jnp.zeros((n,), jnp.int32)
+    for c0 in range(0, c, CULL_BLOCK):
+        lo = accel.aabb_lo[c0:c0 + CULL_BLOCK]
+        hi = accel.aabb_hi[c0:c0 + CULL_BLOCK]
+        t1 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+        t2 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+        tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+        tn = jnp.where((tf >= jnp.maximum(tn, 0.0)) & (tf > 0.0),
+                       jnp.maximum(tn, 0.0), jnp.inf)
+        j = jnp.argmin(tn, axis=1)
+        tj = tn[jnp.arange(n), j]
+        better = tj < best_t
+        best_t = jnp.where(better, tj, best_t)
+        best_i = jnp.where(better, (c0 + j).astype(jnp.int32), best_i)
+    return best_i, best_t
+
+
 def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
     """Sort permutation grouping rays by direction bin + origin Morton.
 
@@ -202,9 +231,21 @@ def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
                 | (q[:, 1] << jnp.uint32(dir_bits)) | q[:, 2])
     db = 3 * dir_bits
     m = morton_mod.morton_codes(o, lo=lo, hi=hi)  # 30-bit
-    if os.environ.get("PT_KEY_SCHEME", "dirmajor") == "mixed" \
-            and dir_bits >= 2:
+    scheme = os.environ.get("PT_KEY_SCHEME", "dirmajor")
+    if scheme == "mixed" and dir_bits >= 2:
         key = _mixed_key(m, 30, d, dir_bits)
+    elif scheme == "firstcluster":
+        # Key on the ray's own schedule PREFIX: rays sharing their first
+        # visited cluster tile together (directly optimizes near-schedule
+        # overlap instead of proxying through origin/direction bits).
+        # first-cluster id (<= 11 bits at C <= 2048) major, then the
+        # direction bin, then origin-Morton detail.
+        fc, _ = _first_cluster(accel, o, d)
+        cb = max(1, int(accel.aabb_lo.shape[0] - 1).bit_length())
+        rest = max(0, 32 - cb - db)
+        key = ((fc.astype(jnp.uint32) << jnp.uint32(32 - cb))
+               | (dbin << jnp.uint32(rest))
+               | (m >> jnp.uint32(30 - rest if rest < 30 else 0)))
     else:
         key = (dbin << jnp.uint32(32 - db)) | (m >> jnp.uint32(db - 2))
     key = jnp.where(o[:, 0] >= 1e29, jnp.uint32(0xFFFFFFFF), key)

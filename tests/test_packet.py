@@ -286,3 +286,25 @@ def test_occluded_blocker_hints(random_tri_soup, random_rays):
     np.testing.assert_array_equal(np.asarray(ob2), np.asarray(ob))
     obt_np = np.asarray(obt)
     assert (obt_np[np.asarray(ob)] >= 0).all()
+
+
+def test_firstcluster_key_scheme_matches(random_tri_soup, random_rays,
+                                         monkeypatch):
+    """PT_KEY_SCHEME=firstcluster (schedule-prefix key) stays exact."""
+    monkeypatch.setenv("PT_KEY_SCHEME", "firstcluster")
+    v0, v1, v2 = random_tri_soup
+    o, d = random_rays
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                           max_clusters=16)
+    hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
+                         jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
+    hc = intersect_clusters(accel, jnp.asarray(o), jnp.asarray(d), 1e-3,
+                            1e20, chunk_rays=128, sort_rays=True)
+    np.testing.assert_array_equal(np.asarray(hc.tri), np.asarray(hr.tri))
+    t_max = jnp.full(len(o), 2.0, jnp.float32)
+    ob = np.asarray(occluded_brute(jnp.asarray(o), jnp.asarray(d), t_max,
+                                   jnp.asarray(v0), jnp.asarray(v1),
+                                   jnp.asarray(v2)))
+    oc = np.asarray(occluded_clusters(accel, jnp.asarray(o), jnp.asarray(d),
+                                      t_max, chunk_rays=128, sort_rays=True))
+    np.testing.assert_array_equal(oc, ob)
