@@ -30,8 +30,9 @@ grep -q "1024.0" "$LOG" || { echo "TUNNEL DOWN - aborting" | tee -a "$LOG"; exit
 GRID_FG="2048:3:-:-,2048:3:-:2,2048:3:-:4,2048:3:24:2,2048:3:8:-,2048:3:16:2"
 run fetch-group-grid 5400 env GRID="$GRID_FG" python benchmarks/frame_ab.py
 
-# 2. mixed coherence key A/B (same harness, key scheme via env)
+# 2. coherence-key scheme A/Bs (same harness, key scheme via env)
 run mixed-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=mixed python benchmarks/frame_ab.py
+run firstcluster-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=firstcluster python benchmarks/frame_ab.py
 
 # 3. priming A/B (spp=4 frames, chained hints)
 SPP=4; [ "$Q" = quick ] && SPP=2
