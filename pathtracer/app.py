@@ -180,6 +180,9 @@ def main(argv=None):
     ap.add_argument("--priming", action="store_true",
                     help="verified primary-hit prediction across the spp "
                          "loop (exact; config.primary_priming)")
+    ap.add_argument("--denoise", action="store_true",
+                    help="edge-aware a-trous denoiser at display time "
+                         "(film/denoise.py; the accumulation stays raw)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -196,7 +199,8 @@ def main(argv=None):
                        env_importance_sampling=args.env_nee,
                        seed=args.seed, intersector=args.intersector,
                        traversal_backend=args.traversal_backend,
-                       primary_priming=args.priming)
+                       primary_priming=args.priming,
+                       denoise=args.denoise)
     cam = default_camera(specs[0])
     r = Renderer(scene, cfg, cam)
 

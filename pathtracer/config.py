@@ -125,6 +125,15 @@ class RenderConfig:
     # trusted. Only applies to intersector="cluster".
     primary_priming: bool = False
 
+    # Edge-aware a-trous denoiser (film/denoise.py) applied at DISPLAY
+    # time only: the accumulated linear radiance is filtered with
+    # primary-hit G-buffer edge-stopping (normal/depth/albedo) before
+    # tone mapping. The raw accumulation is untouched - progressive
+    # convergence and checkpoints stay exact. The reference reserves a
+    # DENOISER_WG_SIZE constant (common.h:6) but ships no denoiser.
+    denoise: bool = False
+    denoise_iterations: int = 3
+
     # Stochastic bilinear texture filtering: jitter the texel coordinate
     # by a per-(lane, bounce) uniform and take ONE tap whose expectation
     # is the bilinear kernel, instead of 4 deterministic taps. Texture

@@ -538,7 +538,7 @@ def _wavefront_order(scene: Scene, o, d, active):
 def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
                 intersect_fn: Callable, occluded_fn: Callable,
-                prime=None):
+                prime=None, want_gbuffer: bool = False):
     """Trace a batch of paths to completion.
 
     Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
@@ -565,6 +565,10 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
       [:, 2] bounce-0 env-NEE shadow blocker (see _nee_env).
     When given, prime_out returns THIS sample's hints, same layout.
 
+    want_gbuffer: also return the primary-hit G-buffer (normal f32[P,3],
+    depth f32[P] (inf = sky), albedo f32[P,3]) in pixel order - the
+    auxiliary features the edge-aware denoiser keys on (film/denoise).
+
     intersect_fn(o, d, t_min, t_max) -> Hit
     occluded_fn(o, d, t_max) -> bool[N]
     """
@@ -583,6 +587,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     prime_blk = prime[:, 1] if prime is not None else None
     prime_env = prime[:, 2] if prime is not None else None
     prime_state = {"out": None, "blk": None, "envb": None}
+    gbuf_state = {}
     verify_rows = None
     if prime is not None:
         # One wide [T, 9] row (v0|v1|v2) per triangle, packed once per
@@ -714,6 +719,24 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         o, d, throughput, radiance, active, prev_pdf, pix, samp, \
             rays_traced = carry
         view = -d
+
+        if primary and want_gbuffer:
+            # Primary-hit G-buffer for the denoiser: geometric features
+            # at the first hit, scattered to pixel order. Sky pixels:
+            # depth = inf, normal = 0, albedo = 1 (neutral demodulation).
+            pdepth = jnp.where(active,
+                               vmath.dot(surf.position - o, d), jnp.inf)
+            gbuf_state["normal"] = jnp.zeros(
+                (n, 3), jnp.float32).at[pix].set(
+                    jnp.where(active[..., None], surf.normal, 0.0),
+                    unique_indices=True)
+            gbuf_state["depth"] = jnp.full(
+                (n,), jnp.inf, jnp.float32).at[pix].set(
+                    pdepth, unique_indices=True)
+            gbuf_state["albedo"] = jnp.ones(
+                (n, 3), jnp.float32).at[pix].set(
+                    jnp.where(active[..., None], surf.albedo, 1.0),
+                    unique_indices=True)
 
         # --- alpha stochastic transparency (raygen.rgen:143-146) ---
         u_alpha = rng.uniform1(pix, samp, depth, rng.SALT_ALPHA,
@@ -874,11 +897,12 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     carry, _ = segment(carry, cfg.max_depth - 1,
                        primary=(cfg.max_depth == 1))
     _, _, _, radiance, _, _, pix_out, _, rays_traced = carry
+    gbuf = gbuf_state if gbuf_state else None   # empty at max_depth == 1
     if prime is None:
-        return radiance, pix_out, rays_traced, None
+        return radiance, pix_out, rays_traced, None, gbuf
     none = jnp.full_like(prime_tri, -1)
     cols = [prime_state["out"] if prime_state["out"] is not None else none,
             prime_state["blk"] if prime_state["blk"] is not None else none,
             prime_state["envb"] if prime_state["envb"] is not None
             else none]
-    return radiance, pix_out, rays_traced, jnp.stack(cols, axis=1)
+    return radiance, pix_out, rays_traced, jnp.stack(cols, axis=1), gbuf

@@ -87,7 +87,7 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
             sample_ids = jnp.full((m,), gs, jnp.uint32)
             o, d = cam_mod.generate_primary_rays(
                 cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids, cfg.seed)
-            r, pix_out, _, _ = path_mod.trace_paths(
+            r, pix_out, _, _, _ = path_mod.trace_paths(
                 scene, cfg, o, d, pixel_ids_local, sample_ids,
                 intersect_fn, occluded_fn)
             # lanes return in wavefront order; scatter-add by the riding

@@ -180,7 +180,8 @@ def _swizzled_pixel_ids(w: int, h: int):
     return (y * w + x).reshape(-1).astype(jnp.int32)
 
 
-def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime):
+def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime,
+                        want_gbuffer=False):
     intersect_fn, occluded_fn = make_intersectors(scene, cfg)
     w, h = cfg.width, cfg.height
     n = w * h
@@ -193,15 +194,15 @@ def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime):
         (n,), frame_idx * cfg.spp + jnp.asarray(s, jnp.uint32), jnp.uint32)
     o, d = cam_mod.generate_primary_rays(
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
-    radiance, pix_out, rays, prime_out = path_mod.trace_paths(
+    radiance, pix_out, rays, prime_out, gbuf = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn,
-        prime=prime)
+        prime=prime, want_gbuffer=want_gbuffer)
     # Lanes come back in the last bounce's wavefront order; one scatter by
     # the riding pixel ids lands them row-major (this also absorbs the
     # un-swizzle of the pixel-block layout).
     img = jnp.zeros((n, 3), jnp.float32).at[pix_out].set(
         radiance, unique_indices=True)
-    return img.reshape(h, w, 3), rays, prime_out
+    return img.reshape(h, w, 3), rays, prime_out, gbuf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -213,27 +214,42 @@ def render_sample(scene: Scene, cfg: RenderConfig,
     Deterministic in (cfg.seed, frame_idx, s): the counter-based RNG keys
     every draw on (pixel, frame*spp + s, depth, use).
     """
-    img, rays, _ = _render_sample_impl(scene, cfg, cam, frame_idx, s, None)
+    img, rays, _, _ = _render_sample_impl(scene, cfg, cam, frame_idx, s,
+                                          None)
     return img, rays
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "gbuffer"))
 def render_sample_primed(scene: Scene, cfg: RenderConfig,
-                         cam: cam_mod.CameraState, frame_idx, s, prime):
+                         cam: cam_mod.CameraState, frame_idx, s, prime,
+                         gbuffer: bool = False):
     """render_sample + verified priming (path.trace_paths).
 
     prime: i32[W*H, 3] previous sample's per-pixel hints (primary hit,
     bounce-0 NEE blocker, bounce-0 env-NEE blocker; -1 = none). Returns
-    (radiance, rays, this sample's hints) - chain across the spp loop.
-    Same estimator as render_sample: predictions are re-verified, never
-    trusted.
+    (radiance, rays, this sample's hints[, gbuf]) - chain across the spp
+    loop. Same estimator as render_sample: predictions are re-verified,
+    never trusted. gbuffer=True also returns the primary-hit G-buffer
+    dict (normal/depth/albedo in pixel order) for the denoiser.
     """
-    return _render_sample_impl(scene, cfg, cam, frame_idx, s, prime)
+    out = _render_sample_impl(scene, cfg, cam, frame_idx, s, prime,
+                              want_gbuffer=gbuffer)
+    return out if gbuffer else out[:3]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def render_sample_gbuffer(scene: Scene, cfg: RenderConfig,
+                          cam: cam_mod.CameraState, frame_idx, s):
+    """render_sample + primary-hit G-buffer (no priming)."""
+    img, rays, _, gbuf = _render_sample_impl(scene, cfg, cam, frame_idx, s,
+                                             None, want_gbuffer=True)
+    return img, rays, gbuf
 
 
 def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
                             cam: cam_mod.CameraState, frame_idx,
-                            prime=None, return_prime: bool = False):
+                            prime=None, return_prime: bool = False,
+                            gbuffer: bool = False):
     """Render one frame's radiance estimate (mean of cfg.spp samples).
 
     HOST-level spp loop over per-sample TPU programs: dispatches chain
@@ -249,20 +265,36 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
     """
     radiance = None
     rays = None
+    gb = None
+    want_gb = gbuffer and cfg.max_depth > 1
     priming = cfg.primary_priming and cfg.intersector == "cluster"
     for s in range(cfg.spp):
         if priming:
             if prime is None:
                 prime = jnp.full((cfg.width * cfg.height, 3), -1,
                                  jnp.int32)
-            r, k, prime = render_sample_primed(scene, cfg, cam,
-                                               frame_idx, s, prime)
+            out_s = render_sample_primed(scene, cfg, cam, frame_idx, s,
+                                         prime, gbuffer=want_gb)
+            if want_gb:
+                r, k, prime, g = out_s
+            else:
+                r, k, prime = out_s
+        elif want_gb:
+            r, k, g = render_sample_gbuffer(scene, cfg, cam, frame_idx, s)
         else:
             r, k = render_sample(scene, cfg, cam, frame_idx, s)
         radiance = r if radiance is None else radiance + r
         rays = k if rays is None else rays + k
+        if want_gb:
+            gb = g if gb is None else {n_: gb[n_] + g[n_] for n_ in gb}
+    if gb is not None:
+        gb = {n_: v / cfg.spp for n_, v in gb.items()}
     out = (radiance / cfg.spp, rays)               # raygen.rgen:297
-    return out + (prime,) if return_prime else out
+    if return_prime:
+        out = out + (prime,)
+    if gbuffer:
+        out = out + (gb,)
+    return out
 
 
 def render_frame(scene: Scene, cfg: RenderConfig, cam: cam_mod.CameraState,
@@ -302,9 +334,14 @@ class Renderer:
         self.film = film_mod.new_film(cfg.width, cfg.height)
         # primary-hit prediction chained across frames (cfg.primary_priming)
         self._prime = None
+        # running-mean primary-hit G-buffer for the denoiser (cfg.denoise)
+        self._gbuf = None
+        self._gbuf_frames = 0
 
     def reset(self):
         self.film = film_mod.new_film(self.cfg.width, self.cfg.height)
+        self._gbuf = None
+        self._gbuf_frames = 0
         # NOTE: self._prime is deliberately KEPT across camera moves -
         # hints are re-verified against the new rays, so stale ones cost
         # one cheap dense test and fresh ones (small motions leave most
@@ -315,10 +352,23 @@ class Renderer:
         if self.camera.moved:
             self.reset()
             self.camera.moved = False
-        radiance, _, self._prime = render_frame_with_stats(
+        want_gb = self.cfg.denoise and self.cfg.max_depth > 1
+        out = render_frame_with_stats(
             self.scene, self.cfg, self.camera.state(),
             self.film.frame.astype(jnp.uint32), prime=self._prime,
-            return_prime=True)
+            return_prime=True, gbuffer=want_gb)
+        if want_gb:
+            radiance, _, self._prime, gb = out
+            if gb is not None:
+                if self._gbuf is None:
+                    self._gbuf = gb
+                else:   # running mean, like the film accumulation
+                    k = self._gbuf_frames
+                    self._gbuf = {n: (v * k + gb[n]) / (k + 1)
+                                  for n, v in self._gbuf.items()}
+                self._gbuf_frames += 1
+        else:
+            radiance, _, self._prime = out
         self.film = film_mod.accumulate(self.film, radiance)
         return self.film
 
@@ -329,8 +379,24 @@ class Renderer:
         return self.film
 
     def display(self) -> np.ndarray:
-        """Tone-mapped current image (u8-ready f32 [H,W,3] in [0,1])."""
-        return np.asarray(film_mod.to_display(self.film.accum))
+        """Tone-mapped current image (u8-ready f32 [H,W,3] in [0,1]).
+
+        With cfg.denoise, the accumulated linear radiance is filtered by
+        the edge-aware a-trous denoiser (film/denoise.py) before tone
+        mapping; the film itself is never modified.
+        """
+        linear = self.film.accum
+        if self.cfg.denoise and self._gbuf is not None:
+            from pathtracer.film import denoise as dn
+
+            h, w = self.cfg.height, self.cfg.width
+            linear = dn.atrous_denoise(
+                linear,
+                self._gbuf["normal"].reshape(h, w, 3),
+                self._gbuf["depth"].reshape(h, w),
+                self._gbuf["albedo"].reshape(h, w, 3),
+                iterations=self.cfg.denoise_iterations)
+        return np.asarray(film_mod.to_display(linear))
 
     def save_png(self, path: str):
         film_mod.write_png(path, self.display())

@@ -61,3 +61,62 @@ def test_rmse():
     a = np.zeros((4, 4, 3))
     b = np.full((4, 4, 3), 0.1)
     assert abs(fm.rmse(a, b) - 0.1) < 1e-12
+
+
+def test_atrous_denoise_reduces_noise():
+    """The denoiser moves a noisy 1-frame render toward the converged one.
+
+    Cornell at 24x24: render 1 frame (noisy) and 32 frames (reference);
+    denoising the noisy accumulation with its own G-buffer must cut the
+    RMSE to the reference by a wide margin, and sky pixels (depth = inf)
+    must pass through bit-exactly.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from pathtracer.config import RenderConfig
+    from pathtracer.film.denoise import atrous_denoise
+    from pathtracer.integrator.camera import Camera
+    from pathtracer.render import Renderer
+    from pathtracer.scene.procedural import cornell_box
+
+    scene = cornell_box().finalize()
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=24, height=24, spp=1, max_depth=3,
+                       intersector="brute", denoise=True)
+
+    r = Renderer(scene, cfg, cam)
+    r.camera.moved = False
+    noisy_film = r.step()
+    noisy = np.asarray(noisy_film.accum)
+    assert r._gbuf is not None
+    h, w = cfg.height, cfg.width
+    den = np.asarray(atrous_denoise(
+        jnp.asarray(noisy),
+        r._gbuf["normal"].reshape(h, w, 3),
+        r._gbuf["depth"].reshape(h, w),
+        r._gbuf["albedo"].reshape(h, w, 3)))
+
+    ref_cfg = dataclasses.replace(cfg, denoise=False)
+    r2 = Renderer(scene, ref_cfg, cam)
+    r2.camera.moved = False
+    for _ in range(32):
+        ref_film = r2.step()
+    ref = np.asarray(ref_film.accum)
+
+    # Compare in DISPLAY space: linear RMSE at this tiny resolution is
+    # dominated by a handful of emitter-silhouette AA pixels (geometric
+    # edge noise that a G-buffer-guided filter must NOT touch).
+    def tm(x):
+        return np.clip(np.maximum(x, 0.0) ** (1 / 2.2), 0.0, 1.0)
+
+    rmse_noisy = float(np.sqrt(np.mean((tm(noisy) - tm(ref)) ** 2)))
+    rmse_den = float(np.sqrt(np.mean((tm(den) - tm(ref)) ** 2)))
+    assert rmse_den < 0.75 * rmse_noisy, (rmse_noisy, rmse_den)
+
+    # display() path applies it end-to-end without touching the film
+    img = r.display()
+    assert img.shape == (h, w, 3)
+    np.testing.assert_array_equal(np.asarray(r.film.accum), noisy)
