@@ -129,8 +129,13 @@ class RenderConfig:
     # time only: the accumulated linear radiance is filtered with
     # primary-hit G-buffer edge-stopping (normal/depth/albedo) before
     # tone mapping. The raw accumulation is untouched - progressive
-    # convergence and checkpoints stay exact. The reference reserves a
-    # DENOISER_WG_SIZE constant (common.h:6) but ships no denoiser.
+    # convergence and checkpoints stay exact. This is a LOW-SPP PREVIEW
+    # feature (measured: halves display-space RMSE at 1 spp, 96^2
+    # cornell); once >= 4 samples have accumulated the filter switches
+    # to SVGF variance guidance, which backs off toward a no-op as the
+    # estimate converges - a converged still is never damaged. The
+    # reference reserves a DENOISER_WG_SIZE constant (common.h:6) but
+    # ships no denoiser.
     denoise: bool = False
     denoise_iterations: int = 3
 

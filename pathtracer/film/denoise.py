@@ -52,11 +52,20 @@ def _shift2(img, dy: int, dx: int):
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def atrous_denoise(radiance, normal, depth, albedo, iterations: int = 3,
                    sigma_l: float = 1.0, sigma_n: float = 32.0,
-                   sigma_z: float = 1.0):
+                   sigma_z: float = 1.0, variance=None):
     """Denoise linear radiance f32[H,W,3]. Returns same shape/dtype.
 
     iterations: a-trous levels (kernel footprint grows as 2^i); 4 covers
     a 33x33 neighborhood. Sky pixels (depth = inf) are returned as-is.
+
+    variance: optional f32[H,W] per-pixel variance of the MEAN radiance
+    luminance (the renderer's spp/frame moments). When given, the
+    luminance weight becomes SVGF's variance-guided form
+    exp(-|dL| / (4 sqrt(var(p)) + eps)) with the variance 3x3-prefiltered
+    and propagated through each level as var' = sum(w^2 var_q)/(sum w)^2
+    - strong smoothing exactly where the estimate is noisy, edges kept
+    where it is converged. Without it, an exposure-invariant relative
+    difference is used.
     """
     sky = ~jnp.isfinite(depth)
     z = jnp.where(sky, 0.0, depth)
@@ -67,6 +76,13 @@ def atrous_denoise(radiance, normal, depth, albedo, iterations: int = 3,
     # demodulate: filter irradiance estimate, keep texture detail
     alb = jnp.maximum(albedo, 1e-3)
     irr = radiance / alb
+    var = None
+    if variance is not None:
+        # moments were taken on RAW radiance; demodulate to irradiance
+        # luminance scale to match lum_c below
+        alb_l = jnp.maximum(jnp.sum(
+            alb * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1), 1e-3)
+        var = jnp.maximum(variance, 0.0) / (alb_l * alb_l)
 
     out = irr
     for i in range(iterations):
@@ -75,6 +91,16 @@ def atrous_denoise(radiance, normal, depth, albedo, iterations: int = 3,
                         axis=-1)
         acc = jnp.zeros_like(out)
         wsum = jnp.zeros(out.shape[:2], out.dtype)
+        vacc = None
+        if var is not None:
+            # 3x3 gaussian-prefiltered std dev steadies the guide (SVGF)
+            gv = jnp.zeros_like(var)
+            for gy in (-1, 0, 1):
+                for gx in (-1, 0, 1):
+                    gw = (2.0 - abs(gy)) * (2.0 - abs(gx)) / 16.0
+                    gv = gv + gw * _shift2(var, gy, gx)
+            sdev = jnp.sqrt(jnp.maximum(gv, 0.0))
+            vacc = jnp.zeros_like(var)
         for ky in range(-2, 3):
             for kx in range(-2, 3):
                 h = _B3[ky + 2] * _B3[kx + 2]
@@ -86,12 +112,21 @@ def atrous_denoise(radiance, normal, depth, albedo, iterations: int = 3,
                 w_n = jnp.maximum(jnp.sum(normal * n_q, axis=-1),
                                   0.0) ** sigma_n
                 w_z = jnp.exp(-(z - z_q) ** 2 / (sigma_z * step * 0.01))
-                rel = (lum_c - l_q) / (jnp.maximum(
-                    jnp.maximum(lum_c, l_q), 1e-3))
-                w_l = jnp.exp(-rel * rel / sigma_l)
+                if var is not None:
+                    w_l = jnp.exp(-jnp.abs(lum_c - l_q)
+                                  / (4.0 * sdev + 1e-4))
+                else:
+                    rel = (lum_c - l_q) / (jnp.maximum(
+                        jnp.maximum(lum_c, l_q), 1e-3))
+                    w_l = jnp.exp(-rel * rel / sigma_l)
                 w = h * w_n * w_z * w_l * (~sky_q)
                 acc = acc + _shift2(out, dy, dx) * w[..., None]
                 wsum = wsum + w
-        out = acc / jnp.maximum(wsum, 1e-8)[..., None]
+                if var is not None:
+                    vacc = vacc + w * w * _shift2(var, dy, dx)
+        wn = jnp.maximum(wsum, 1e-8)
+        out = acc / wn[..., None]
+        if var is not None:
+            var = vacc / (wn * wn)
     result = out * alb
     return jnp.where(sky[..., None], radiance, result)

@@ -286,6 +286,11 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
         radiance = r if radiance is None else radiance + r
         rays = k if rays is None else rays + k
         if want_gb:
+            # luminance moments of the per-sample estimate: the denoiser's
+            # variance guide (SVGF) - E[l^2]-E[l]^2 over all samples
+            lum = jnp.sum(r * jnp.asarray([0.2126, 0.7152, 0.0722]),
+                          axis=-1)
+            g = dict(g, m1=lum, m2=lum * lum)
             gb = g if gb is None else {n_: gb[n_] + g[n_] for n_ in gb}
     if gb is not None:
         gb = {n_: v / cfg.spp for n_, v in gb.items()}
@@ -390,12 +395,21 @@ class Renderer:
             from pathtracer.film import denoise as dn
 
             h, w = self.cfg.height, self.cfg.width
+            # variance of the MEAN estimate from the luminance moments:
+            # (E[l^2] - E[l]^2) / n_samples over all spp x frames
+            n_s = max(1, self._gbuf_frames * self.cfg.spp)
+            # a 1-3 sample second moment is degenerate (var ~ 0 kills
+            # every weight); fall back to the exposure-relative guide
+            # until enough samples accumulated (SVGF's warmup problem)
+            var = ((self._gbuf["m2"] - self._gbuf["m1"] ** 2) / n_s
+                   if n_s >= 4 else None)
             linear = dn.atrous_denoise(
                 linear,
                 self._gbuf["normal"].reshape(h, w, 3),
                 self._gbuf["depth"].reshape(h, w),
                 self._gbuf["albedo"].reshape(h, w, 3),
-                iterations=self.cfg.denoise_iterations)
+                iterations=self.cfg.denoise_iterations,
+                variance=var)
         return np.asarray(film_mod.to_display(linear))
 
     def save_png(self, path: str):
