@@ -342,6 +342,9 @@ class Renderer:
         # running-mean primary-hit G-buffer for the denoiser (cfg.denoise)
         self._gbuf = None
         self._gbuf_frames = 0
+        # runtime display-filter toggle (the viewer flips it; the frozen
+        # cfg stays the source of truth for G-buffer capture)
+        self.denoise = cfg.denoise
 
     def reset(self):
         self.film = film_mod.new_film(self.cfg.width, self.cfg.height)
@@ -391,7 +394,7 @@ class Renderer:
         mapping; the film itself is never modified.
         """
         linear = self.film.accum
-        if self.cfg.denoise and self._gbuf is not None:
+        if self.denoise and self._gbuf is not None:
             from pathtracer.film import denoise as dn
 
             h, w = self.cfg.height, self.cfg.width

@@ -73,7 +73,7 @@ def frame_to_ansi(img: np.ndarray, cols: int = 80, rows: int = 24) -> str:
 
 
 _KEY_HELP = ("WASD+QE move | arrows/IJKL look | +/- speed | "
-             "space stop | ESC/x quit")
+             "n denoise | ESC/x quit")
 
 
 def _read_keys(timeout: float):
@@ -147,6 +147,9 @@ def run_interactive(renderer, cols: int = 100, rows: int = 40,
                     cam.process_mouse(0.0, 40.0)
                 elif k in ("down", "k"):
                     cam.process_mouse(0.0, -40.0)
+                elif k == "n":
+                    renderer.denoise = (not renderer.denoise
+                                        and renderer.cfg.denoise)
                 elif k == "+":
                     cam.speed *= 1.5
                 elif k == "-":

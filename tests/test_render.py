@@ -228,3 +228,27 @@ def test_env_nee_priming_exact():
     np.testing.assert_allclose(np.asarray(primed), np.asarray(base),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(rays_p), float(rays_b), rtol=1e-6)
+
+
+def test_priming_quirks_mode_exact():
+    """Priming exactness holds in reference_quirks mode too (the quirk
+    shadow scheme aims behind the light; verification follows the same
+    segment, so hints stay conclusive)."""
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import render_frame_with_stats
+
+    b = cornell_box()
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    scene = build_scene_clusters(b.finalize())
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       intersector="cluster", reference_quirks=True)
+    cfg_p = dataclasses.replace(cfg, primary_priming=True)
+    base, rays_b = render_frame_with_stats(scene, cfg, cam.state(), 0)
+    primed, rays_p = render_frame_with_stats(scene, cfg_p, cam.state(), 0)
+    np.testing.assert_allclose(np.asarray(primed), np.asarray(base),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(rays_p), float(rays_b), rtol=1e-6)
