@@ -34,7 +34,11 @@ run fetch-group-grid 5400 env GRID="$GRID_FG" python benchmarks/frame_ab.py
 run mixed-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=mixed python benchmarks/frame_ab.py
 run firstcluster-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=firstcluster python benchmarks/frame_ab.py
 
-# 3. priming A/B (spp=4 frames, chained hints)
+# 2.5 cluster-build quality: sahleaf fine accel vs median default
+run sahleaf-fine 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=sahleaf python benchmarks/frame_ab.py
+
+# 3. want_blocker Mosaic compile validation, THEN priming A/B
+run blocker-probe 900 python benchmarks/blocker_probe.py
 SPP=4; [ "$Q" = quick ] && SPP=2
 run priming 4500 env BENCH_SPP=$SPP python benchmarks/priming_ab.py
 

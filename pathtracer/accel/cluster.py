@@ -141,6 +141,82 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16):
+    """Binned-SAH top-down leaf partition (host-side numpy build).
+
+    Unlike the equal-size median/Morton chunkers, leaves here hold a
+    VARIABLE number of triangles (<= k, padded to k downstream), so the
+    split position follows the SAH minimum instead of the segment
+    midpoint - the same quality/size trade the reference's driver AS
+    build makes on the host (core/accel.h:21-45). Costs more (partially
+    filled) clusters; buys tighter, less-overlapping AABBs = fewer
+    visited sweep columns per ray, the binding cost (docs/PERF.md 0.21).
+
+    Returns a list of int32 index arrays, one per leaf, each <= k long.
+    """
+    import numpy as np
+
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    cent = (v0 + v1 + v2) / 3.0
+    tlo = np.minimum(np.minimum(v0, v1), v2)
+    thi = np.maximum(np.maximum(v0, v1), v2)
+
+    def area(lo, hi):
+        e = np.maximum(hi - lo, 0.0)
+        return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] \
+            + e[..., 0] * e[..., 2]
+
+    leaves = []
+    stack = [np.arange(v0.shape[0], dtype=np.int32)]
+    while stack:
+        idx = stack.pop()
+        n = idx.shape[0]
+        if n <= k:
+            leaves.append(idx)
+            continue
+        c = cent[idx]
+        clo, chi = c.min(axis=0), c.max(axis=0)
+        ext = chi - clo
+        best = None  # (cost, axis, bin_edge)
+        for ax in range(3):
+            if ext[ax] <= 0:
+                continue
+            b = np.minimum(
+                ((c[:, ax] - clo[ax]) * (n_bins / ext[ax])).astype(np.int32),
+                n_bins - 1)
+            cnt = np.bincount(b, minlength=n_bins)
+            # per-bin AABBs over TRIANGLE bounds (not centroids)
+            blo = np.full((n_bins, 3), np.inf, np.float32)
+            bhi = np.full((n_bins, 3), -np.inf, np.float32)
+            np.minimum.at(blo, b, tlo[idx])
+            np.maximum.at(bhi, b, thi[idx])
+            # prefix/suffix sweep
+            plo = np.minimum.accumulate(blo, axis=0)
+            phi = np.maximum.accumulate(bhi, axis=0)
+            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            nl = np.cumsum(cnt)[:-1]
+            nr = n - nl
+            cost = (area(plo[:-1], phi[:-1]) * nl
+                    + area(slo[1:], shi[1:]) * nr)
+            cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+            j = int(np.argmin(cost))
+            if np.isfinite(cost[j]) and (best is None or cost[j] < best[0]):
+                best = (float(cost[j]), ax, j, b)
+        if best is None:
+            # degenerate centroids: split by index halves
+            stack.append(idx[: n // 2])
+            stack.append(idx[n // 2:])
+            continue
+        _, ax, j, b = best
+        left = b <= j
+        stack.append(idx[left])
+        stack.append(idx[~left])
+    return leaves
+
+
 def build_clusters(v0, v1, v2, max_clusters: int = 512,
                    min_k: int = 128, method: str = "morton") -> ClusterAccel:
     """Build the cluster accel over triangles v0/v1/v2: f32[T, 3].
@@ -154,6 +230,26 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
     """
     t = v0.shape[0]
     k = _choose_k(t, max_clusters, min_k)
+
+    if method == "sahleaf":
+        import numpy as np
+
+        k = min_k  # occupancy is variable; cluster count floats instead
+        leaves = _sah_leaves(np.asarray(v0), np.asarray(v1),
+                             np.asarray(v2), k)
+        # pad cluster count to a 128 multiple with empty clusters so
+        # every downstream [*, C] op stays lane-aligned
+        c = -(-len(leaves) // 128) * 128
+        order = np.full((c * k,), -1, np.int64)
+        for i, leaf in enumerate(leaves):
+            order[i * k: i * k + leaf.shape[0]] = leaf
+        sid = jnp.asarray(order, jnp.int32)
+        gather = jnp.maximum(sid, 0)
+        real = (sid >= 0)[:, None]
+        sv0 = jnp.where(real, jnp.asarray(v0)[gather], _PAD_POS)
+        sv1 = jnp.where(real, jnp.asarray(v1)[gather], _PAD_POS)
+        sv2 = jnp.where(real, jnp.asarray(v2)[gather], _PAD_POS)
+        return _finish_build(sv0, sv1, sv2, sid, k, c * k - t, t)
 
     centroids = (v0 + v1 + v2) / 3.0
     if method in ("median", "sah"):
@@ -263,14 +359,20 @@ def build_scene_clusters(scene: Scene, max_clusters: int = 2048,
                          method: str = "morton") -> Scene:
     """Attach the packet-traversal accels to the scene.
 
-    `clusters` (the `method` build, Morton by default) serves incoherent
-    bounce/shadow batches; `clusters_fine` (median splits) serves the
-    coherent primary trace - measured per-call winners, docs/PERF.md.
+    `clusters` (the `method` build, Morton by default) serves occlusion
+    batches; `clusters_fine` serves closest-hit (primary + bounce) -
+    measured per-call winners, docs/PERF.md. PT_FINE_METHOD /
+    PT_COARSE_METHOD env knobs override the builds for A/Bs
+    (median | sahleaf | morton | sah).
     """
+    import os
+
+    fine_method = os.environ.get("PT_FINE_METHOD", "median")
+    method = os.environ.get("PT_COARSE_METHOD", method)
     tri_ids = jnp.arange(scene.n_tris)
     v0, v1, v2 = scene.tri_vertices(tri_ids)
     return dataclasses.replace(
         scene,
         clusters=build_clusters(v0, v1, v2, max_clusters, method=method),
         clusters_fine=build_clusters(v0, v1, v2, max_clusters,
-                                     method="median"))
+                                     method=fine_method))

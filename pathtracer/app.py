@@ -30,6 +30,11 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("PATHTRACER_CACHE",
                                  os.path.expanduser("~/.cache/pathtracer-jax")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# PT_PLATFORM=cpu forces the CLI off the chip (the axon plugin overrides
+# plain JAX_PLATFORMS); lets renders/verification proceed during tunnel
+# outages and keeps probe renders off a busy chip.
+if os.environ.get("PT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["PT_PLATFORM"])
 
 from pathtracer import film as fm
 from pathtracer.config import RenderConfig
