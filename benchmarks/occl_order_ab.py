@@ -148,6 +148,10 @@ def stop_columns(order_ids, finite_n, blocks_tile):
 
 
 def main():
+    # Stop-column counts are platform-independent; ALWAYS run off-chip.
+    # The axon plugin overrides the JAX_PLATFORMS env var, so force it.
+    jax.config.update("jax_platforms",
+                      os.environ.get("PT_PLATFORM", "cpu"))
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("PATHTRACER_CACHE",
@@ -156,10 +160,11 @@ def main():
     h = int(os.environ.get("BENCH_HEIGHT", 180))
     tris = int(os.environ.get("BENCH_TRIS", 65_000))
 
+    from pathtracer.accel.cluster import build_scene_clusters
     from pathtracer.kernels import packet
     from pathtracer.scene.procedural import sponza_like
 
-    scene = sponza_like(target_tris=tris).finalize()
+    scene = build_scene_clusters(sponza_like(target_tris=tris).finalize())
     accel = scene.clusters                              # occlusion accel
     o, d, t_max = (np.asarray(x) for x in shadow_batch(scene, w, h))
     print(f"scene {scene.n_tris} tris, C={accel.n_clusters} "

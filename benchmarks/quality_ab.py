@@ -56,7 +56,43 @@ def batch_stats(accel, o, d, scene, label):
     return int(vis.sum())
 
 
+def occl_stats(accel, o, d, t_max, label):
+    """Finite schedule length per live tile on a shadow batch.
+
+    The occlusion sweep walks its whole finite schedule for any tile
+    with one open ray (ordering is a dead axis, docs/PERF.md 0.23) and
+    only ~4% of tiles fully block, so the t_max-capped cull length IS
+    the occlusion column count to ~4%."""
+    from pathtracer.kernels import packet
+
+    tile_rays = packet.TILE_RAYS
+    n = o.shape[0] - (o.shape[0] % packet.TILE_RAYS)
+    o, d, t_max = o[:n], d[:n], t_max[:n]
+    n_tiles = n // tile_rays
+
+    @jax.jit
+    def stats(o, d, tm):
+        order, _ = packet._coherence_order(accel, o, d, 2)
+        o_s, d_s, t_s = o[order], d[order], tm[order]
+        tile_tnear = packet._tile_cull(accel, o_s, d_s, 0.0, t_s,
+                                       n_tiles, tile_rays)
+        live = jnp.any((o_s[:, 0] < 1e29).reshape(n_tiles, tile_rays),
+                       axis=1)
+        fn = jnp.sum(jnp.isfinite(tile_tnear), axis=1)
+        return jnp.where(live, fn, 0), live
+
+    vis, tile_live = jax.block_until_ready(stats(o, d, t_max))
+    vis = np.asarray(vis)[np.asarray(tile_live)]
+    print(f"  {label}: total cols {vis.sum()}  mean/tile {vis.mean():.1f}"
+          f"  p90 {np.percentile(vis, 90):.0f}  live tiles {vis.size}")
+    return int(vis.sum())
+
+
 def main():
+    # Column counts are platform-independent; ALWAYS run off-chip. The
+    # axon plugin overrides the JAX_PLATFORMS env var, so force it here.
+    jax.config.update("jax_platforms",
+                      os.environ.get("PT_PLATFORM", "cpu"))
     jax.config.update(
         "jax_compilation_cache_dir",
         os.environ.get("PATHTRACER_CACHE",
@@ -65,7 +101,8 @@ def main():
     w = int(os.environ.get("BENCH_WIDTH", 640))
     h = int(os.environ.get("BENCH_HEIGHT", 360))
     tris = int(os.environ.get("BENCH_TRIS", 262_000))
-    methods = os.environ.get("QUALITY_METHODS", "median,sahleaf").split(",")
+    methods = os.environ.get("QUALITY_METHODS",
+                             "median,sahleaf,sahdeep").split(",")
 
     from pathtracer.accel.cluster import build_clusters
     from pathtracer.integrator import camera as cam_mod
@@ -115,6 +152,14 @@ def main():
 
     o2, d2 = jax.block_until_ready(bounce_batch(o, d))
 
+    # bounce-0 NEE shadow batch for the occlusion-accel comparison
+    # (hits are exact, so the batch is method-independent)
+    import dataclasses
+
+    import occl_order_ab
+    scene_s = dataclasses.replace(scene, clusters_fine=accel0)
+    so, sd, stx = occl_order_ab.shadow_batch(scene_s, w, h)
+
     results = {}
     for m in methods:
         accel = build_clusters(v0a, v1a, v2a, 2048, method=m)
@@ -124,14 +169,16 @@ def main():
         print(f"method={m}: C={c} K={k} fill={fill:.2f}")
         p = batch_stats(accel, o, d, scene, "primary")
         b = batch_stats(accel, o2, d2, scene, "bounce1")
-        results[m] = (p, b, c)
+        s = occl_stats(accel, so, sd, stx, "shadow0")
+        results[m] = (p, b, s)
 
     base = methods[0]
     for m in methods[1:]:
-        p0, b0, _ = results[base]
-        p1, b1, _ = results[m]
+        p0, b0, s0 = results[base]
+        p1, b1, s1 = results[m]
         print(f"{m} vs {base}: primary x{p0 / max(1, p1):.2f} "
-              f"bounce x{b0 / max(1, b1):.2f}")
+              f"bounce x{b0 / max(1, b1):.2f} "
+              f"shadow x{s0 / max(1, s1):.2f}")
 
 
 if __name__ == "__main__":

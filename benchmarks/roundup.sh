@@ -34,8 +34,10 @@ run fetch-group-grid 5400 env GRID="$GRID_FG" python benchmarks/frame_ab.py
 run mixed-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=mixed python benchmarks/frame_ab.py
 run firstcluster-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=firstcluster python benchmarks/frame_ab.py
 
-# 2.5 cluster-build quality: sahleaf fine accel vs median default
-run sahleaf-fine 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=sahleaf python benchmarks/frame_ab.py
+# 2.5 cluster-build on-chip confirmation: new sahleaf default (both
+#     accels) vs the round-1 median/morton pair (docs/PERF.md 0.22)
+run sahleaf-default 2700 env GRID="2048:3:-:-" python benchmarks/frame_ab.py
+run old-builds 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=median PT_COARSE_METHOD=morton python benchmarks/frame_ab.py
 
 # 3. want_blocker Mosaic compile validation, THEN priming A/B
 run blocker-probe 900 python benchmarks/blocker_probe.py

@@ -28,6 +28,7 @@ exactly 0, so they can never produce hits.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -141,7 +142,8 @@ def _next_pow2(x: int) -> int:
     return p
 
 
-def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16):
+def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16,
+                deep_ratio: float = None):
     """Binned-SAH top-down leaf partition (host-side numpy build).
 
     Unlike the equal-size median/Morton chunkers, leaves here hold a
@@ -151,6 +153,12 @@ def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16):
     build makes on the host (core/accel.h:21-45). Costs more (partially
     filled) clusters; buys tighter, less-overlapping AABBs = fewer
     visited sweep columns per ray, the binding cost (docs/PERF.md 0.21).
+
+    deep_ratio: if set, keep splitting BELOW k while the children's AABB
+    areas sum to < deep_ratio * parent area. A visit costs one fixed
+    column regardless of occupancy, and the expected visits/ray of a
+    leaf set scales with total AABB area (surface-area heuristic), so
+    sub-k splits pay exactly when they shrink summed area.
 
     Returns a list of int32 index arrays, one per leaf, each <= k long.
     """
@@ -173,7 +181,8 @@ def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16):
     while stack:
         idx = stack.pop()
         n = idx.shape[0]
-        if n <= k:
+        small = n <= k
+        if small and (deep_ratio is None or n < 32):
             leaves.append(idx)
             continue
         c = cent[idx]
@@ -206,12 +215,24 @@ def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16):
             if np.isfinite(cost[j]) and (best is None or cost[j] < best[0]):
                 best = (float(cost[j]), ax, j, b)
         if best is None:
+            if small:
+                leaves.append(idx)
+                continue
             # degenerate centroids: split by index halves
             stack.append(idx[: n // 2])
             stack.append(idx[n // 2:])
             continue
         _, ax, j, b = best
         left = b <= j
+        if small:
+            # sub-k split: only where it shrinks summed leaf area
+            li, ri = idx[left], idx[~left]
+            pa = area(tlo[idx].min(axis=0), thi[idx].max(axis=0))
+            la = area(tlo[li].min(axis=0), thi[li].max(axis=0))
+            ra = area(tlo[ri].min(axis=0), thi[ri].max(axis=0))
+            if la + ra >= deep_ratio * pa:
+                leaves.append(idx)
+                continue
         stack.append(idx[left])
         stack.append(idx[~left])
     return leaves
@@ -231,12 +252,14 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
     t = v0.shape[0]
     k = _choose_k(t, max_clusters, min_k)
 
-    if method == "sahleaf":
+    if method in ("sahleaf", "sahdeep"):
         import numpy as np
 
         k = min_k  # occupancy is variable; cluster count floats instead
+        deep = (float(os.environ.get("PT_SAH_DEEP", "0.8"))
+                if method == "sahdeep" else None)
         leaves = _sah_leaves(np.asarray(v0), np.asarray(v1),
-                             np.asarray(v2), k)
+                             np.asarray(v2), k, deep_ratio=deep)
         # pad cluster count to a 128 multiple with empty clusters so
         # every downstream [*, C] op stays lane-aligned
         c = -(-len(leaves) // 128) * 128
@@ -356,21 +379,26 @@ def _finish_build(sv0, sv1, sv2, sid, k, pad, t) -> ClusterAccel:
 
 
 def build_scene_clusters(scene: Scene, max_clusters: int = 2048,
-                         method: str = "morton") -> Scene:
+                         method: str = "sahleaf") -> Scene:
     """Attach the packet-traversal accels to the scene.
 
-    `clusters` (the `method` build, Morton by default) serves occlusion
-    batches; `clusters_fine` serves closest-hit (primary + bounce) -
-    measured per-call winners, docs/PERF.md. PT_FINE_METHOD /
-    PT_COARSE_METHOD env knobs override the builds for A/Bs
-    (median | sahleaf | morton | sah).
+    `clusters` serves occlusion batches; `clusters_fine` serves
+    closest-hit (primary + bounce). Both default to the binned-SAH leaf
+    build: it wins EVERY batch class by exact visited-column counts
+    (x1.55 primary / x1.46 bounce / x1.44 shadow vs median, x2.05
+    shadow vs the round-1 morton pick) AND builds ~2x faster
+    (docs/PERF.md 0.22). PT_FINE_METHOD / PT_COARSE_METHOD env knobs
+    override the builds for A/Bs
+    (median | sahleaf | sahdeep | morton | sah).
     """
-    import os
-
-    fine_method = os.environ.get("PT_FINE_METHOD", "median")
+    fine_method = os.environ.get("PT_FINE_METHOD", "sahleaf")
     method = os.environ.get("PT_COARSE_METHOD", method)
     tri_ids = jnp.arange(scene.n_tris)
     v0, v1, v2 = scene.tri_vertices(tri_ids)
+    if fine_method == method:
+        accel = build_clusters(v0, v1, v2, max_clusters, method=method)
+        return dataclasses.replace(scene, clusters=accel,
+                                   clusters_fine=accel)
     return dataclasses.replace(
         scene,
         clusters=build_clusters(v0, v1, v2, max_clusters, method=method),

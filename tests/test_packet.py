@@ -87,7 +87,7 @@ def test_packet_duplicate_centroids(random_rays):
 
 
 def test_cluster_methods_partition_and_agree():
-    """All cluster orderings (morton/median/sah/sahleaf) are exact partitions
+    """All cluster builds (morton/median/sah/sahleaf/sahdeep) are exact partitions
     and produce identical closest hits - clustering is a scheduling
     choice, never a correctness one."""
     import numpy as np
@@ -107,7 +107,7 @@ def test_cluster_methods_partition_and_agree():
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
 
     ref = intersect_brute(o, d, v0, v1, v2, 1e-3, 1e20)
-    for method in ("morton", "median", "sah", "sahleaf"):
+    for method in ("morton", "median", "sah", "sahleaf", "sahdeep"):
         accel = build_clusters(v0, v1, v2, 8, method=method)
         ids = np.asarray(accel.blocks[..., 9].reshape(-1))
         ids = np.round(ids).astype(np.int64) - 1
