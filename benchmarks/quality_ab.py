@@ -31,9 +31,14 @@ def batch_stats(accel, o, d, scene, label):
     n = o.shape[0]
     n_tiles = n // tile_rays
 
+    nosort = os.environ.get("QUALITY_NOSORT") == "1"
+
     @jax.jit
     def stats(o, d):
-        order, _ = packet._coherence_order(accel, o, d, 2)
+        if nosort:
+            order = jnp.arange(o.shape[0], dtype=jnp.int32)
+        else:
+            order, _ = packet._coherence_order(accel, o, d, 2)
         o_s, d_s = o[order], d[order]
         tile_tnear = packet._tile_cull(accel, o_s, d_s, 1e-3, 1e20,
                                        n_tiles, tile_rays)
@@ -72,7 +77,8 @@ def occl_stats(accel, o, d, t_max, label):
 
     @jax.jit
     def stats(o, d, tm):
-        order, _ = packet._coherence_order(accel, o, d, 2)
+        order, _ = packet._coherence_order(
+            accel, o, d, 2, scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
         o_s, d_s, t_s = o[order], d[order], tm[order]
         tile_tnear = packet._tile_cull(accel, o_s, d_s, 0.0, t_s,
                                        n_tiles, tile_rays)
@@ -117,7 +123,12 @@ def main():
     cam.look_at((14.0, 3.0, 6.0))
     cs = cam.state()
     n = w * h
-    pix = jnp.arange(n, dtype=jnp.int32)
+    # production pixel order: swizzled 8x8 blocks (render.py), so the
+    # QUALITY_NOSORT=1 baseline measures the true unsorted-primary path
+    from pathtracer.render import _swizzled_pixel_ids
+    pix = _swizzled_pixel_ids(w, h)
+    if pix is None:
+        pix = jnp.arange(n, dtype=jnp.int32)
     samp = jnp.zeros((n,), jnp.uint32)
     o, d = cam_mod.generate_primary_rays(cs, w, h, 70.0, pix, samp, 0)
 

@@ -194,7 +194,8 @@ def _first_cluster(accel: ClusterAccel, o, d):
     return best_i, best_t
 
 
-def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
+def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None,
+                     scheme: str = None):
     """Sort permutation grouping rays by direction bin + origin Morton.
 
     Chunk-local argsort of u32 keys; all downstream permutes gather from
@@ -231,7 +232,10 @@ def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None):
                 | (q[:, 1] << jnp.uint32(dir_bits)) | q[:, 2])
     db = 3 * dir_bits
     m = morton_mod.morton_codes(o, lo=lo, hi=hi)  # 30-bit
-    scheme = os.environ.get("PT_KEY_SCHEME", "dirmajor")
+    # per-call scheme override (occlusion batches have their own
+    # measured winner - see PT_KEY_SCHEME_OCCL in occluded_clusters),
+    # falling back to the global env knob
+    scheme = scheme or os.environ.get("PT_KEY_SCHEME", "dirmajor")
     if scheme == "mixed" and dir_bits >= 2:
         key = _mixed_key(m, 30, d, dir_bits)
     elif scheme == "firstcluster":
@@ -624,7 +628,9 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
             # while receiver locality predicts which far clusters a tile
             # needs. Parked lanes (o >= 1e29) still key to the tail.
             o_key = (o_in + d_in * tmax_in[:, None]) if morton_end else o_in
-            order, inv = _coherence_order(accel, o_key, d_in, dir_bits)
+            order, inv = _coherence_order(
+                accel, o_key, d_in, dir_bits,
+                scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
             odt = jnp.concatenate(
                 [o_in, d_in, tmax_in[:, None]], axis=1)[order]
             o = odt[:, 0:3]
@@ -866,7 +872,9 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
     if (sort_rays and n > chunk_rays
             and os.environ.get("PT_SORT_SCOPE", "global") == "global"):
         o_key = (o + d * t_max[:, None]) if morton_end else o
-        order, inv = _coherence_order(accel, o_key, d, dir_bits)
+        order, inv = _coherence_order(
+            accel, o_key, d, dir_bits,
+            scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
         odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
         o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
         sort_rays = False
