@@ -30,17 +30,13 @@ grep -q "1024.0" "$LOG" || { echo "TUNNEL DOWN - aborting" | tee -a "$LOG"; exit
 GRID_FG="2048:3:-:-,2048:3:-:2,2048:3:-:4,2048:3:24:2,2048:3:8:-,2048:3:16:2"
 run fetch-group-grid 5400 env GRID="$GRID_FG" python benchmarks/frame_ab.py
 
-# 2. coherence-key scheme: CPU pre-screen (exact column counts,
-#    PERF.md 0.24) rejected mixed (-24% bounce) and global firstcluster
-#    (neutral bounce, loses to unsorted primaries); the one survivor is
-#    firstcluster for OCCLUSION batches (x1.26 fewer shadow columns) -
-#    net of its extra [n, C] key pass, measured here.
-run fc-occl-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME_OCCL=firstcluster python benchmarks/frame_ab.py
-
-# 2.5 cluster-build on-chip confirmation: new sahleaf default (both
-#     accels) vs the round-1 median/morton pair (docs/PERF.md 0.22)
-run sahleaf-default 2700 env GRID="2048:3:-:-" python benchmarks/frame_ab.py
-run old-builds 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=median PT_COARSE_METHOD=morton python benchmarks/frame_ab.py
+# 2. on-chip confirmation of the off-chip column-count flips
+#    (PERF.md 0.22/0.24/0.25). New defaults = sahsplit accel +
+#    firstcluster occlusion key; legs revert one axis each.
+run new-defaults 2700 env GRID="2048:3:-:-" python benchmarks/frame_ab.py
+run occl-key-revert 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME_OCCL=dirmajor python benchmarks/frame_ab.py
+run sahleaf-accel 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=sahleaf PT_COARSE_METHOD=sahleaf python benchmarks/frame_ab.py
+run old-builds 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=median PT_COARSE_METHOD=morton PT_KEY_SCHEME_OCCL=dirmajor python benchmarks/frame_ab.py
 
 # 3. want_blocker Mosaic compile validation, THEN priming A/B
 run blocker-probe 900 python benchmarks/blocker_probe.py

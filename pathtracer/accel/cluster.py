@@ -238,6 +238,182 @@ def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16,
     return leaves
 
 
+def _sah_split_leaves(v0, v1, v2, k: int, n_bins: int = 16,
+                      dup_budget: float = 1.5):
+    """Binned-SAH leaf partition WITH spatial splits (SBVH-style).
+
+    Large triangles (floors/walls) straddle any object-split boundary
+    and bloat both children's AABBs. A spatial split instead chooses a
+    plane and sends a straddling triangle to BOTH sides with its AABB
+    clipped at the plane - the union of a triangle's clipped boxes
+    covers its full AABB, so the conservative segment-vs-box cull still
+    visits a covering cluster for every possible hit point (closest-hit
+    takes the min over duplicates; any-hit is trivially unaffected).
+    Duplication is capped at dup_budget * T references.
+
+    At each node the binned object split (centroid bins, as
+    _sah_leaves) competes with the best spatial split (uniform planes
+    over the node box, refs distributed to every overlapped bin with
+    clipped boxes) by SAH cost; the cheaper wins. Returns a list of
+    UNIQUE-id int32 leaf arrays, each <= k long.
+    """
+    import numpy as np
+
+    v0 = np.asarray(v0, np.float32)
+    v1 = np.asarray(v1, np.float32)
+    v2 = np.asarray(v2, np.float32)
+    t = v0.shape[0]
+    tlo = np.minimum(np.minimum(v0, v1), v2)
+    thi = np.maximum(np.maximum(v0, v1), v2)
+
+    def area(lo, hi):
+        e = np.maximum(hi - lo, 0.0)
+        return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] \
+            + e[..., 0] * e[..., 2]
+
+    # refs: (tri id, clipped AABB); start with one ref per triangle
+    ref_tri = np.arange(t, dtype=np.int32)
+    ref_lo = tlo.copy()
+    ref_hi = thi.copy()
+    budget = int(dup_budget * t)
+
+    leaves = []
+    stack = [np.arange(t, dtype=np.int64)]   # indices into ref arrays
+    refs_total = t
+    while stack:
+        idx = stack.pop()
+        n = idx.shape[0]
+        if n <= k:
+            leaves.append(idx)
+            continue
+        rlo, rhi = ref_lo[idx], ref_hi[idx]
+        cen = (rlo + rhi) * 0.5
+        clo, chi = cen.min(axis=0), cen.max(axis=0)
+        nlo, nhi = rlo.min(axis=0), rhi.max(axis=0)
+        ext = chi - clo
+
+        # --- object split (centroid bins, SAH over ref boxes) ---
+        obj = None  # (cost, mask_left)
+        for ax in range(3):
+            if ext[ax] <= 0:
+                continue
+            b = np.minimum(((cen[:, ax] - clo[ax])
+                            * (n_bins / ext[ax])).astype(np.int32),
+                           n_bins - 1)
+            cnt = np.bincount(b, minlength=n_bins)
+            blo = np.full((n_bins, 3), np.inf, np.float32)
+            bhi = np.full((n_bins, 3), -np.inf, np.float32)
+            np.minimum.at(blo, b, rlo)
+            np.maximum.at(bhi, b, rhi)
+            plo = np.minimum.accumulate(blo, axis=0)
+            phi = np.maximum.accumulate(bhi, axis=0)
+            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+            nl = np.cumsum(cnt)[:-1]
+            nr = n - nl
+            cost = (area(plo[:-1], phi[:-1]) * nl
+                    + area(slo[1:], shi[1:]) * nr)
+            cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+            j = int(np.argmin(cost))
+            if np.isfinite(cost[j]) and (obj is None or cost[j] < obj[0]):
+                obj = (float(cost[j]), b <= j)
+
+        # --- spatial split (uniform planes over the NODE box) ---
+        spa = None  # (cost, plane_x, axis)
+        if refs_total < budget:
+            nex = nhi - nlo
+            for ax in range(3):
+                if nex[ax] <= 0:
+                    continue
+                scale = n_bins / nex[ax]
+                lob = np.clip(((rlo[:, ax] - nlo[ax]) * scale
+                               ).astype(np.int32), 0, n_bins - 1)
+                hib = np.clip(((rhi[:, ax] - nlo[ax]) * scale
+                               ).astype(np.int32), 0, n_bins - 1)
+                # entry/exit counts per plane
+                enter = np.bincount(lob, minlength=n_bins)
+                exit_ = np.bincount(hib, minlength=n_bins)
+                nl = np.cumsum(enter)[:-1]             # refs left of plane
+                nr = n - np.cumsum(exit_)[:-1]         # refs right of plane
+                # bin-clipped boxes for bounds
+                blo = np.full((n_bins, 3), np.inf, np.float32)
+                bhi = np.full((n_bins, 3), -np.inf, np.float32)
+                for bb in range(n_bins):
+                    inb = (lob <= bb) & (hib >= bb)
+                    if not inb.any():
+                        continue
+                    l = rlo[inb].copy()
+                    h = rhi[inb].copy()
+                    l[:, ax] = np.maximum(l[:, ax],
+                                          nlo[ax] + bb / scale)
+                    h[:, ax] = np.minimum(h[:, ax],
+                                          nlo[ax] + (bb + 1) / scale)
+                    blo[bb] = np.minimum(blo[bb], l.min(axis=0))
+                    bhi[bb] = np.maximum(bhi[bb], h.max(axis=0))
+                plo = np.minimum.accumulate(blo, axis=0)
+                phi = np.maximum.accumulate(bhi, axis=0)
+                slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+                shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+                cost = (area(plo[:-1], phi[:-1]) * nl
+                        + area(slo[1:], shi[1:]) * nr)
+                cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+                j = int(np.argmin(cost))
+                if np.isfinite(cost[j]) and (spa is None
+                                             or cost[j] < spa[0]):
+                    spa = (float(cost[j]), nlo[ax] + (j + 1) / scale, ax)
+
+        if spa is not None and (obj is None or spa[0] < obj[0]):
+            _, px, ax = spa
+            go_l = ref_lo[idx, ax] < px
+            go_r = ref_hi[idx, ax] > px
+            on_plane = ~go_l & ~go_r            # degenerate: box == plane
+            go_l |= on_plane
+            both = go_l & go_r
+            n_new = int(both.sum())
+            commit = (go_l.sum() > 0 and go_r.sum() > 0
+                      and refs_total + n_new <= budget)
+            if commit:
+                # straddlers: left keeps the ref clipped at px, right
+                # gets a NEW clipped ref (mutate only once committed)
+                li = idx[go_l]
+                new0 = ref_lo.shape[0]
+                ref_tri = np.concatenate([ref_tri, ref_tri[idx[both]]])
+                nl_ = ref_lo[idx[both]].copy()
+                nl_[:, ax] = np.maximum(nl_[:, ax], px)
+                nh_ = ref_hi[idx[both]].copy()
+                ref_lo = np.concatenate([ref_lo, nl_])
+                ref_hi = np.concatenate([ref_hi, nh_])
+                ref_hi[idx[both], ax] = px       # clip left copies
+                ri = np.concatenate([
+                    idx[go_r & ~both],
+                    np.arange(new0, new0 + n_new, dtype=np.int64)])
+                refs_total += n_new
+                stack.append(li)
+                stack.append(ri)
+                continue
+            # budget blown or one-sided plane: fall back to object split
+
+        if obj is None:
+            stack.append(idx[: n // 2])
+            stack.append(idx[n // 2:])
+            continue
+        left = obj[1]
+        stack.append(idx[left])
+        stack.append(idx[~left])
+
+    # leaves hold REF indices; map to tri ids (dedup within each leaf)
+    # and return the CLIPPED-box union per leaf - the cluster AABB must
+    # be the clipped union (not the full-triangle union, which would
+    # re-expand over the split planes and erase the benefit). The MT
+    # sweep still tests full triangles: extra hits beyond a clipped box
+    # are true hits, and every possible hit point stays covered because
+    # a triangle's clipped boxes union to its full AABB.
+    ids = [np.unique(ref_tri[leaf]).astype(np.int32) for leaf in leaves]
+    leaf_lo = np.stack([ref_lo[leaf].min(axis=0) for leaf in leaves])
+    leaf_hi = np.stack([ref_hi[leaf].max(axis=0) for leaf in leaves])
+    return ids, leaf_lo, leaf_hi
+
+
 def build_clusters(v0, v1, v2, max_clusters: int = 512,
                    min_k: int = 128, method: str = "morton") -> ClusterAccel:
     """Build the cluster accel over triangles v0/v1/v2: f32[T, 3].
@@ -252,27 +428,43 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
     t = v0.shape[0]
     k = _choose_k(t, max_clusters, min_k)
 
-    if method in ("sahleaf", "sahdeep"):
+    if method in ("sahleaf", "sahdeep", "sahsplit"):
         import numpy as np
 
         k = min_k  # occupancy is variable; cluster count floats instead
-        deep = (float(os.environ.get("PT_SAH_DEEP", "0.8"))
-                if method == "sahdeep" else None)
-        leaves = _sah_leaves(np.asarray(v0), np.asarray(v1),
-                             np.asarray(v2), k, deep_ratio=deep)
+        box_override = None
+        if method == "sahsplit":
+            leaves, leaf_lo, leaf_hi = _sah_split_leaves(
+                np.asarray(v0), np.asarray(v1), np.asarray(v2), k,
+                dup_budget=float(os.environ.get("PT_SAH_DUP", "1.5")))
+            box_override = (leaf_lo, leaf_hi)
+        else:
+            deep = (float(os.environ.get("PT_SAH_DEEP", "0.8"))
+                    if method == "sahdeep" else None)
+            leaves = _sah_leaves(np.asarray(v0), np.asarray(v1),
+                                 np.asarray(v2), k, deep_ratio=deep)
         # pad cluster count to a 128 multiple with empty clusters so
         # every downstream [*, C] op stays lane-aligned
         c = -(-len(leaves) // 128) * 128
         order = np.full((c * k,), -1, np.int64)
         for i, leaf in enumerate(leaves):
             order[i * k: i * k + leaf.shape[0]] = leaf
+        n_real = sum(leaf.shape[0] for leaf in leaves)  # > t for sahsplit
         sid = jnp.asarray(order, jnp.int32)
         gather = jnp.maximum(sid, 0)
         real = (sid >= 0)[:, None]
         sv0 = jnp.where(real, jnp.asarray(v0)[gather], _PAD_POS)
         sv1 = jnp.where(real, jnp.asarray(v1)[gather], _PAD_POS)
         sv2 = jnp.where(real, jnp.asarray(v2)[gather], _PAD_POS)
-        return _finish_build(sv0, sv1, sv2, sid, k, c * k - t, t)
+        accel = _finish_build(sv0, sv1, sv2, sid, k, c * k - n_real, t)
+        if box_override is not None:
+            lo = np.full((c, 3), _PAD_POS, np.float32)
+            hi = np.full((c, 3), _PAD_POS, np.float32)
+            lo[: len(leaves)] = box_override[0]
+            hi[: len(leaves)] = box_override[1]
+            accel = dataclasses.replace(accel, aabb_lo=jnp.asarray(lo),
+                                        aabb_hi=jnp.asarray(hi))
+        return accel
 
     centroids = (v0 + v1 + v2) / 3.0
     if method in ("median", "sah"):
@@ -379,19 +571,21 @@ def _finish_build(sv0, sv1, sv2, sid, k, pad, t) -> ClusterAccel:
 
 
 def build_scene_clusters(scene: Scene, max_clusters: int = 2048,
-                         method: str = "sahleaf") -> Scene:
+                         method: str = "sahsplit") -> Scene:
     """Attach the packet-traversal accels to the scene.
 
     `clusters` serves occlusion batches; `clusters_fine` serves
-    closest-hit (primary + bounce). Both default to the binned-SAH leaf
-    build: it wins EVERY batch class by exact visited-column counts
-    (x1.55 primary / x1.46 bounce / x1.44 shadow vs median, x2.05
-    shadow vs the round-1 morton pick) AND builds ~2x faster
-    (docs/PERF.md 0.22). PT_FINE_METHOD / PT_COARSE_METHOD env knobs
-    override the builds for A/Bs
-    (median | sahleaf | sahdeep | morton | sah).
+    closest-hit (primary + bounce). Both default to the binned-SAH
+    spatial-split build (SBVH-style): SAH leaves win EVERY batch class
+    by exact visited-column counts (x1.55 primary / x1.46 bounce /
+    x1.44 shadow vs median, x2.05 shadow vs the round-1 morton pick;
+    docs/PERF.md 0.22) and spatial splits stack another x1.13 / x1.02 /
+    x1.21 by clipping the big floor/wall triangles that bloat leaf
+    AABBs (0.25). PT_FINE_METHOD / PT_COARSE_METHOD env knobs override
+    the builds for A/Bs
+    (sahsplit | sahleaf | sahdeep | median | morton | sah).
     """
-    fine_method = os.environ.get("PT_FINE_METHOD", "sahleaf")
+    fine_method = os.environ.get("PT_FINE_METHOD", "sahsplit")
     method = os.environ.get("PT_COARSE_METHOD", method)
     tri_ids = jnp.arange(scene.n_tris)
     v0, v1, v2 = scene.tri_vertices(tri_ids)

@@ -630,7 +630,7 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
             o_key = (o_in + d_in * tmax_in[:, None]) if morton_end else o_in
             order, inv = _coherence_order(
                 accel, o_key, d_in, dir_bits,
-                scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
+                scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
             odt = jnp.concatenate(
                 [o_in, d_in, tmax_in[:, None]], axis=1)[order]
             o = odt[:, 0:3]
@@ -874,7 +874,7 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
         o_key = (o + d * t_max[:, None]) if morton_end else o
         order, inv = _coherence_order(
             accel, o_key, d, dir_bits,
-            scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
+            scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
         odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
         o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
         sort_rays = False

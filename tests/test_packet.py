@@ -107,11 +107,19 @@ def test_cluster_methods_partition_and_agree():
     d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
 
     ref = intersect_brute(o, d, v0, v1, v2, 1e-3, 1e20)
-    for method in ("morton", "median", "sah", "sahleaf", "sahdeep"):
+    for method in ("morton", "median", "sah", "sahleaf", "sahdeep",
+                   "sahsplit"):
         accel = build_clusters(v0, v1, v2, 8, method=method)
         ids = np.asarray(accel.blocks[..., 9].reshape(-1))
         ids = np.round(ids).astype(np.int64) - 1
-        assert np.array_equal(np.sort(ids[ids >= 0]), np.arange(t)), method
+        if method == "sahsplit":
+            # spatial splits DUPLICATE straddling tris into clipped-box
+            # clusters (SBVH); coverage, not partition, is the invariant
+            assert np.array_equal(np.unique(ids[ids >= 0]),
+                                  np.arange(t)), method
+        else:
+            assert np.array_equal(np.sort(ids[ids >= 0]),
+                                   np.arange(t)), method
         hit = intersect_clusters(accel, o, d, 1e-3, 1e20)
         # tri ids may differ on exact-tie hits (visit order is a
         # scheduling choice); the hit/miss SETS (tri >= 0 - the brute
