@@ -134,6 +134,65 @@ def test_cluster_methods_partition_and_agree():
                                    rtol=1e-5, err_msg=method)
 
 
+def test_sahsplit_architectural_exactness():
+    """Spatial splits on BIG straddling triangles stay exact.
+
+    A room made of a few huge floor/wall triangles plus small clutter is
+    the case spatial splits exist for (a random soup barely triggers
+    them): the floor tris straddle every split plane, get duplicated
+    into clipped-box clusters, and cluster AABBs become clipped unions.
+    Closest hits AND occlusion bits must still match brute force - the
+    clipped cull is conservative and the full-tri MT only adds true
+    hits (accel/cluster.py:_sah_split_leaves)."""
+    rng = np.random.default_rng(23)
+    quads = [  # floor, ceiling, two walls: 2 tris each, 20x20 units
+        ((-10, 0, -10), (10, 0, -10), (10, 0, 10), (-10, 0, 10)),
+        ((-10, 8, -10), (10, 8, -10), (10, 8, 10), (-10, 8, 10)),
+        ((-10, 0, -10), (10, 0, -10), (10, 8, -10), (-10, 8, -10)),
+        ((-10, 0, 10), (10, 0, 10), (10, 8, 10), (-10, 8, 10)),
+    ]
+    tv0, tv1, tv2 = [], [], []
+    for a, b, c, dq in quads:
+        tv0 += [a, a]
+        tv1 += [b, c]
+        tv2 += [c, dq]
+    # small clutter so the builder has something to split around
+    base = rng.uniform(-9, 9, (600, 3)).astype(np.float32)
+    base[:, 1] = rng.uniform(0.2, 7.5, 600)
+    tv0 = np.concatenate([np.array(tv0, np.float32), base])
+    tv1 = np.concatenate([np.array(tv1, np.float32),
+                          base + rng.uniform(-.4, .4, (600, 3))
+                          .astype(np.float32)])
+    tv2 = np.concatenate([np.array(tv2, np.float32),
+                          base + rng.uniform(-.4, .4, (600, 3))
+                          .astype(np.float32)])
+    v0, v1, v2 = map(jnp.asarray, (tv0, tv1, tv2))
+
+    n = 512
+    o = rng.uniform(-9, 9, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 7.5, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    accel = build_clusters(v0, v1, v2, 8, method="sahsplit")
+    refs = int((np.round(np.asarray(accel.blocks[..., 9])) >= 1.0).sum())
+    assert refs > tv0.shape[0], \
+        "spatial splits never triggered - test scene too tame"
+    hit = intersect_clusters(accel, o, d, 1e-3, 1e20)
+    ref = intersect_brute(o, d, v0, v1, v2, 1e-3, 1e20)
+    np.testing.assert_array_equal(np.asarray(hit.tri) >= 0,
+                                  np.asarray(ref.tri) >= 0)
+    m = np.asarray(ref.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hit.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5)
+
+    t_max = jnp.full(n, 6.0, jnp.float32)
+    oc = np.asarray(occluded_clusters(accel, o, d, t_max))
+    obr = np.asarray(occluded_brute(o, d, t_max, v0, v1, v2))
+    np.testing.assert_array_equal(oc, obr)
+
+
 def test_two_phase_matches_single_phase(random_tri_soup, random_rays):
     """Windowed two-phase traversal is exact at any window size."""
     from pathtracer.kernels.packet import intersect_clusters_two_phase
