@@ -24,8 +24,14 @@ import numpy as np
 
 
 def batch_stats(accel, o, d, scene, label):
-    """Total/mean visited sweep columns for one ray batch on one accel."""
+    """Total/mean visited sweep columns for one ray batch on one accel.
+
+    QUALITY_DB sets the coherence-key dir_bits (production: closest
+    bounce batches use PT_CLOSEST_DB=3); QUALITY_STAGES filters which
+    batches run (comma list of primary,bounce1,shadow0)."""
     from pathtracer.kernels import packet
+
+    db = int(os.environ.get("QUALITY_DB", "2"))
 
     tile_rays = packet.TILE_RAYS
     n = o.shape[0]
@@ -38,7 +44,7 @@ def batch_stats(accel, o, d, scene, label):
         if nosort:
             order = jnp.arange(o.shape[0], dtype=jnp.int32)
         else:
-            order, _ = packet._coherence_order(accel, o, d, 2)
+            order, _ = packet._coherence_order(accel, o, d, db)
         o_s, d_s = o[order], d[order]
         tile_tnear = packet._tile_cull(accel, o_s, d_s, 1e-3, 1e20,
                                        n_tiles, tile_rays)
@@ -171,6 +177,8 @@ def main():
     scene_s = dataclasses.replace(scene, clusters_fine=accel0)
     so, sd, stx = occl_order_ab.shadow_batch(scene_s, w, h)
 
+    stages = os.environ.get("QUALITY_STAGES",
+                            "primary,bounce1,shadow0").split(",")
     results = {}
     for m in methods:
         accel = build_clusters(v0a, v1a, v2a, 2048, method=m)
@@ -178,9 +186,12 @@ def main():
         k = accel.tris_per_cluster
         fill = scene.n_tris / (c * k)
         print(f"method={m}: C={c} K={k} fill={fill:.2f}")
-        p = batch_stats(accel, o, d, scene, "primary")
-        b = batch_stats(accel, o2, d2, scene, "bounce1")
-        s = occl_stats(accel, so, sd, stx, "shadow0")
+        p = batch_stats(accel, o, d, scene, "primary") \
+            if "primary" in stages else 1
+        b = batch_stats(accel, o2, d2, scene, "bounce1") \
+            if "bounce1" in stages else 1
+        s = occl_stats(accel, so, sd, stx, "shadow0") \
+            if "shadow0" in stages else 1
         results[m] = (p, b, s)
 
     base = methods[0]

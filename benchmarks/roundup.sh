@@ -37,6 +37,9 @@ run new-defaults 2700 env GRID="2048:3:-:-" python benchmarks/frame_ab.py
 run occl-key-revert 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME_OCCL=dirmajor python benchmarks/frame_ab.py
 run sahleaf-accel 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=sahleaf PT_COARSE_METHOD=sahleaf python benchmarks/frame_ab.py
 run old-builds 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=median PT_COARSE_METHOD=morton PT_KEY_SCHEME_OCCL=dirmajor python benchmarks/frame_ab.py
+# closest-bounce key candidate (x1.10 columns, below the chip-gate
+# threshold - PERF.md 0.26)
+run fc-bounce-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=firstcluster python benchmarks/frame_ab.py
 
 # 3. want_blocker Mosaic compile validation, THEN priming A/B
 run blocker-probe 900 python benchmarks/blocker_probe.py
