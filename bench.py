@@ -53,7 +53,12 @@ def main():
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=6,
                        intersector="cluster",
                        primary_priming=os.environ.get(
-                           "BENCH_PRIMING", "0") != "0")
+                           "BENCH_PRIMING", "0") != "0",
+                       # one wavefront for all spp samples (x1.49 fewer
+                       # bounce columns/ray measured off-chip, PERF.md
+                       # 0.27); flip default after the on-chip A/B
+                       spp_batch=os.environ.get(
+                           "BENCH_SPP_BATCH", "0") != "0")
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
 

@@ -41,6 +41,11 @@ run old-builds 2700 env GRID="2048:3:-:-" PT_FINE_METHOD=median PT_COARSE_METHOD
 # threshold - PERF.md 0.26)
 run fc-bounce-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=firstcluster python benchmarks/frame_ab.py
 
+# 2.7 spp-batched wavefront (all 4 spp in one wavefront: x1.49 fewer
+#     bounce columns/ray off-chip, PERF.md 0.27; estimator-identical)
+run spp-batch 3600 env BENCH_FRAMES=4 BENCH_SPP_BATCH=1 BENCH_UNTEXTURED_REF=0 python bench.py
+run spp-loop 3600 env BENCH_FRAMES=4 BENCH_UNTEXTURED_REF=0 python bench.py
+
 # 3. want_blocker Mosaic compile validation, THEN priming A/B
 run blocker-probe 900 python benchmarks/blocker_probe.py
 SPP=4; [ "$Q" = quick ] && SPP=2

@@ -96,6 +96,14 @@ class RenderConfig:
     # Ignored when wavefront_sort already ordered the rays.
     packet_sort: bool = True
 
+    # Trace ALL spp samples of a frame as ONE wavefront (spp * W * H
+    # lanes) instead of a host loop of per-sample programs. The coherence
+    # sort's pool grows spp-fold: measured x1.49 fewer bounce sweep
+    # columns per ray at 4 spp (docs/PERF.md 0.27), the identical
+    # estimator (RNG is keyed on (pixel, sample) either way). Costs
+    # ~spp x the wavefront memory; chip-confirm before defaulting on.
+    spp_batch: bool = False
+
     # Trace NEE shadow rays in REVERSE (from the sampled light point toward
     # the surface). The blocked set is identical (the facing convention
     # flips, handled by front_sign; the tested segment interval matches to

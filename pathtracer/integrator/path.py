@@ -538,7 +538,8 @@ def _wavefront_order(scene: Scene, o, d, active):
 def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
                 intersect_fn: Callable, occluded_fn: Callable,
-                prime=None, want_gbuffer: bool = False):
+                prime=None, want_gbuffer: bool = False,
+                n_pixels: int = None):
     """Trace a batch of paths to completion.
 
     Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
@@ -573,6 +574,12 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     occluded_fn(o, d, t_max) -> bool[N]
     """
     n = origins.shape[0]
+    # spp-batched wavefronts carry several lanes per pixel (render.py
+    # render_frame_batched): per-PIXEL outputs (G-buffer) size to
+    # n_pixels and scatter WITHOUT the unique-indices contract
+    # (last-writer-wins among a pixel's samples).
+    n_pixels = n_pixels or n
+    uniq = n_pixels == n
     gain = cfg.emission_gain
     env_nee = (cfg.env_importance_sampling and cfg.sky == "envmap"
                and scene.has_envmap)
@@ -661,7 +668,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         if primary and prime_tri is not None:
             prime_state["out"] = jnp.full(
                 prime_tri.shape, -1, jnp.int32).at[pix].set(
-                    jnp.where(hit_ok, hit.tri, -1), unique_indices=True)
+                    jnp.where(hit_ok, hit.tri, -1), unique_indices=uniq)
 
         # --- miss: environment (miss.rmiss; payload.done) ---
         missed = active & ~hit.valid
@@ -727,16 +734,16 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             pdepth = jnp.where(active,
                                vmath.dot(surf.position - o, d), jnp.inf)
             gbuf_state["normal"] = jnp.zeros(
-                (n, 3), jnp.float32).at[pix].set(
+                (n_pixels, 3), jnp.float32).at[pix].set(
                     jnp.where(active[..., None], surf.normal, 0.0),
-                    unique_indices=True)
+                    unique_indices=uniq)
             gbuf_state["depth"] = jnp.full(
-                (n,), jnp.inf, jnp.float32).at[pix].set(
-                    pdepth, unique_indices=True)
+                (n_pixels,), jnp.inf, jnp.float32).at[pix].set(
+                    pdepth, unique_indices=uniq)
             gbuf_state["albedo"] = jnp.ones(
-                (n, 3), jnp.float32).at[pix].set(
+                (n_pixels, 3), jnp.float32).at[pix].set(
                     jnp.where(active[..., None], surf.albedo, 1.0),
-                    unique_indices=True)
+                    unique_indices=uniq)
 
         # --- alpha stochastic transparency (raygen.rgen:143-146) ---
         u_alpha = rng.uniform1(pix, samp, depth, rng.SALT_ALPHA,
@@ -777,7 +784,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 if new_blk is not None:
                     prime_state["blk"] = jnp.full(
                         prime_blk.shape, -1, jnp.int32).at[pix].set(
-                            new_blk, unique_indices=True)
+                            new_blk, unique_indices=uniq)
             else:
                 nee = _nee(scene, cfg, surf, view, pix, samp, depth,
                            occluded_fn, shade, primary)
@@ -793,7 +800,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                                            verify_rows=verify_rows)
                 prime_state["envb"] = jnp.full(
                     prime_env.shape, -1, jnp.int32).at[pix].set(
-                        new_envb, unique_indices=True)
+                        new_envb, unique_indices=uniq)
             else:
                 env_c = _nee_env(scene, cfg, surf, view, pix, samp,
                                  depth, occluded_fn, shade, primary)

@@ -246,6 +246,55 @@ def render_sample_gbuffer(scene: Scene, cfg: RenderConfig,
     return img, rays, gbuf
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "gbuffer", "primed"))
+def render_frame_batched(scene: Scene, cfg: RenderConfig,
+                         cam: cam_mod.CameraState, frame_idx,
+                         prime=None, gbuffer: bool = False,
+                         primed: bool = False):
+    """Render ALL cfg.spp samples of a frame as ONE wavefront.
+
+    spp * W * H lanes traced together (cfg.spp_batch): the coherence
+    sort pools every sample's rays, which measures x1.49 fewer bounce
+    sweep columns per ray at 4 spp (docs/PERF.md 0.27). The estimator
+    is IDENTICAL to the per-sample loop - the RNG keys every draw on
+    (pixel, frame*spp + s, depth, use) either way - only float
+    summation order differs. Returns (mean radiance f32[H, W, 3], rays,
+    prime_out, gbuf) with gbuf carrying SVGF moments m1/m2 when
+    gbuffer=True.
+    """
+    intersect_fn, occluded_fn = make_intersectors(scene, cfg)
+    w, h = cfg.width, cfg.height
+    n = w * h
+    spp = cfg.spp
+    swizzled = _swizzled_pixel_ids(w, h)
+    base_pix = (swizzled if swizzled is not None
+                else jnp.arange(n, dtype=jnp.int32))
+    # sample-major lane order: s-th segment keeps the swizzled 8x8
+    # pixel-block structure, so primary tiles stay compact screen squares
+    pixel_ids = jnp.tile(base_pix, spp)
+    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
+    sample_ids = (frame_idx * spp
+                  + jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n))
+    o, d = cam_mod.generate_primary_rays(
+        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
+    if primed and prime is None:
+        prime = jnp.full((n, 3), -1, jnp.int32)
+    radiance, pix_out, rays, prime_out, gbuf = path_mod.trace_paths(
+        scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn,
+        occluded_fn, prime=prime if primed else None,
+        want_gbuffer=gbuffer, n_pixels=n)
+    # spp lanes share a pixel: scatter-ADD, then the mean
+    img = jnp.zeros((n, 3), jnp.float32).at[pix_out].add(radiance) / spp
+    if gbuffer and gbuf is not None:
+        # SVGF moments in (h, w) image layout, matching the spp loop
+        lum = jnp.sum(radiance * jnp.asarray([0.2126, 0.7152, 0.0722]),
+                      axis=-1)
+        m1 = jnp.zeros((n,), jnp.float32).at[pix_out].add(lum) / spp
+        m2 = jnp.zeros((n,), jnp.float32).at[pix_out].add(lum * lum) / spp
+        gbuf = dict(gbuf, m1=m1.reshape(h, w), m2=m2.reshape(h, w))
+    return img.reshape(h, w, 3), rays, prime_out, gbuf
+
+
 def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
                             cam: cam_mod.CameraState, frame_idx,
                             prime=None, return_prime: bool = False,
@@ -268,6 +317,18 @@ def render_frame_with_stats(scene: Scene, cfg: RenderConfig,
     gb = None
     want_gb = gbuffer and cfg.max_depth > 1
     priming = cfg.primary_priming and cfg.intersector == "cluster"
+    if cfg.spp_batch and cfg.spp > 1:
+        radiance, rays, prime_o, gb = render_frame_batched(
+            scene, cfg, cam, frame_idx, prime=prime if priming else None,
+            gbuffer=want_gb, primed=priming)
+        if priming:
+            prime = prime_o
+        out = (radiance, rays)     # already the spp mean
+        if return_prime:
+            out = out + (prime,)
+        if gbuffer:
+            out = out + (gb,)
+        return out
     for s in range(cfg.spp):
         if priming:
             if prime is None:

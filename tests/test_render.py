@@ -252,3 +252,51 @@ def test_priming_quirks_mode_exact():
     np.testing.assert_allclose(np.asarray(primed), np.asarray(base),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(rays_p), float(rays_b), rtol=1e-6)
+
+
+def test_spp_batched_frame_matches_loop():
+    """cfg.spp_batch traces all spp samples as ONE wavefront; the
+    estimator is identical to the per-sample loop (the RNG keys on
+    (pixel, frame*spp + s) either way) - only float summation order
+    differs. Exercises the real cluster path (>256 tris), both plain
+    and with verified priming (which must stay correctness-neutral in
+    batched mode: hints scatter last-writer-wins across a pixel's
+    sample lanes and are re-verified on use)."""
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import render_frame_with_stats
+
+    b = cornell_box()
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    scene = build_scene_clusters(b.finalize())
+    assert scene.n_tris > 256
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=4, max_depth=3,
+                       intersector="cluster")
+    base, rays_b = render_frame_with_stats(scene, cfg, cam.state(), 0)
+    cfg_b = dataclasses.replace(cfg, spp_batch=True)
+    batched, rays_k = render_frame_with_stats(scene, cfg_b, cam.state(), 0)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(rays_k), float(rays_b), rtol=1e-6)
+
+    cfg_bp = dataclasses.replace(cfg_b, primary_priming=True)
+    primed, rays_p, prime = render_frame_with_stats(
+        scene, cfg_bp, cam.state(), 0, return_prime=True)
+    np.testing.assert_allclose(np.asarray(primed), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(rays_p), float(rays_b), rtol=1e-6)
+    assert prime.shape == (16 * 16, 3)
+
+    # G-buffer (denoiser input) in batched mode: per-PIXEL shapes and
+    # the same SVGF moment semantics as the loop
+    rg, _, gb = render_frame_with_stats(scene, cfg_b, cam.state(), 0,
+                                        gbuffer=True)
+    _, _, gl = render_frame_with_stats(scene, cfg, cam.state(), 0,
+                                       gbuffer=True)
+    assert gb["normal"].shape == (16 * 16, 3)
+    assert gb["depth"].shape == (16 * 16,)
+    np.testing.assert_allclose(np.asarray(gb["m1"]), np.asarray(gl["m1"]),
+                               rtol=1e-4, atol=1e-5)
