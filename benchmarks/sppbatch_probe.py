@@ -124,6 +124,73 @@ def main():
     print(f"  joint sort:      {joint} cols ({joint / rays:.4f}/ray)")
     print(f"  joint vs per-sample: x{sum(per) / max(1, joint):.3f}")
 
+    # --- bounce-0 NEE shadow batches: the same pool question ---
+    @jax.jit
+    def shadow_batch(s):
+        samp = jnp.full((n,), s, jnp.uint32)
+        o, d = cam_mod.generate_primary_rays(cs, w, h, 70.0, pix, samp, 0)
+        hit = packet.intersect_clusters(accel, o, d, 1e-3, 1e20,
+                                        backend="xla")
+        live = jnp.isfinite(hit.t)
+        tri = jnp.maximum(hit.tri, 0)
+        tv0, tv1, tv2 = scene.tri_vertices(tri)
+        gn = vmath.normalize(jnp.cross(tv1 - tv0, tv2 - tv0))
+        gn = jnp.where(jnp.sum(gn * d, axis=-1, keepdims=True) > 0, -gn, gn)
+        p = o + hit.t[:, None] * d + gn * 1e-3
+        pixu = pix.astype(jnp.uint32)
+        u_sel = rng_mod.uniform1(pixu, samp, 0,
+                                 rng_mod.SALT_LIGHT_SELECT, 0)
+        li = jnp.clip(jnp.searchsorted(scene.light_cdf, u_sel,
+                                       side="left"),
+                      0, scene.light_cdf.shape[0] - 1).astype(jnp.int32)
+        r1, r2 = rng_mod.uniform2(pixu, samp, 0, rng_mod.SALT_LIGHT_UV, 0)
+        sr1 = jnp.sqrt(r1)
+        b0 = (1.0 - sr1)[..., None]
+        b1 = (r2 * sr1)[..., None]
+        lp = (scene.light_v0[li] * b0 + scene.light_v1[li] * b1
+              + scene.light_v2[li] * (1.0 - b0 - b1))
+        to_l = lp - p
+        dist = jnp.linalg.norm(to_l, axis=-1)
+        sd = to_l / jnp.maximum(dist, 1e-12)[:, None]
+        so = jnp.where(live[:, None], p, jnp.full_like(p, 1e30))
+        sd = jnp.where(live[:, None], sd, jnp.array([[0.0, 0.0, 1.0]]))
+        st = jnp.where(live, dist * (1.0 - 1e-3), 0.0)
+        return so, sd, st
+
+    def occl_columns(o, d, tm):
+        from pathtracer.kernels import packet as pk
+
+        tile_rays = pk.TILE_RAYS
+        m = o.shape[0] - (o.shape[0] % tile_rays)
+        o, d, tm = o[:m], d[:m], tm[:m]
+        n_tiles = m // tile_rays
+
+        @jax.jit
+        def stats(o, d, tm):
+            order, _ = pk._coherence_order(
+                accel, o, d, 2,
+                scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
+            o_s, d_s, t_s = o[order], d[order], tm[order]
+            tt = pk._tile_cull(accel, o_s, d_s, 0.0, t_s, n_tiles,
+                               tile_rays)
+            live = jnp.any((o_s[:, 0] < 1e29).reshape(n_tiles, tile_rays),
+                           axis=1)
+            return jnp.sum(jnp.where(live,
+                                     jnp.sum(jnp.isfinite(tt), axis=1), 0))
+
+        return int(jax.block_until_ready(stats(o, d, tm)))
+
+    sbatches = [jax.block_until_ready(shadow_batch(s)) for s in range(spp)]
+    sper = [occl_columns(o, d, t) for o, d, t in sbatches]
+    sjoint = occl_columns(jnp.concatenate([b[0] for b in sbatches]),
+                          jnp.concatenate([b[1] for b in sbatches]),
+                          jnp.concatenate([b[2] for b in sbatches]))
+    print(f"shadow0 x{spp} samples:")
+    print(f"  per-sample sort: {sum(sper)} cols ({sum(sper) / rays:.4f}"
+          f"/ray)  {sper}")
+    print(f"  joint sort:      {sjoint} cols ({sjoint / rays:.4f}/ray)")
+    print(f"  joint vs per-sample: x{sum(sper) / max(1, sjoint):.3f}")
+
 
 if __name__ == "__main__":
     main()

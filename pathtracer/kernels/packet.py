@@ -70,6 +70,9 @@ TILE_RAYS = int(os.environ.get("PT_TILE_RAYS", "64"))
 # ms/sample - docs/PERF.md 0.19).
 CHUNK_TILES = int(os.environ.get("PT_CHUNK_TILES", "2048"))
 CULL_BLOCK = 256         # clusters per dense-cull block (bounds transients)
+FIRSTCLUSTER_RAY_BLOCK = 1 << 20   # rays per _first_cluster block (global
+# sort scope sees the whole spp-batched wavefront - up to ~8M lanes -
+# so the [rays, CULL_BLOCK] transients are bounded on BOTH axes)
 CLUSTERS_PER_ITER = 2    # clusters each tile opens per loop iteration
 
 
@@ -171,27 +174,41 @@ def _first_cluster(accel: ClusterAccel, o, d):
     argmin over clusters of the slab-test entry distance - i.e. the first
     cluster the ray's own near-to-far schedule would visit. Blocked over
     CULL_BLOCK clusters like _tile_cull; parked rays get id 0 / inf.
+    Unlike the cull this runs at the GLOBAL sort scope (the whole
+    wavefront, spp-batched up to ~8M lanes), so rays are ALSO blocked to
+    bound the [rays, CULL_BLOCK] transients.
     """
     n = o.shape[0]
-    inv = _safe_inv(d)
-    c = accel.aabb_lo.shape[0]
-    best_t = jnp.full((n,), jnp.inf, jnp.float32)
-    best_i = jnp.zeros((n,), jnp.int32)
-    for c0 in range(0, c, CULL_BLOCK):
-        lo = accel.aabb_lo[c0:c0 + CULL_BLOCK]
-        hi = accel.aabb_hi[c0:c0 + CULL_BLOCK]
-        t1 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
-        t2 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
-        tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        tn = jnp.where((tf >= jnp.maximum(tn, 0.0)) & (tf > 0.0),
-                       jnp.maximum(tn, 0.0), jnp.inf)
-        j = jnp.argmin(tn, axis=1)
-        tj = tn[jnp.arange(n), j]
-        better = tj < best_t
-        best_t = jnp.where(better, tj, best_t)
-        best_i = jnp.where(better, (c0 + j).astype(jnp.int32), best_i)
-    return best_i, best_t
+    ray_block = FIRSTCLUSTER_RAY_BLOCK
+
+    def block(o, d):
+        m = o.shape[0]
+        inv = _safe_inv(d)
+        c = accel.aabb_lo.shape[0]
+        best_t = jnp.full((m,), jnp.inf, jnp.float32)
+        best_i = jnp.zeros((m,), jnp.int32)
+        for c0 in range(0, c, CULL_BLOCK):
+            lo = accel.aabb_lo[c0:c0 + CULL_BLOCK]
+            hi = accel.aabb_hi[c0:c0 + CULL_BLOCK]
+            t1 = (lo[None, :, :] - o[:, None, :]) * inv[:, None, :]
+            t2 = (hi[None, :, :] - o[:, None, :]) * inv[:, None, :]
+            tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            tn = jnp.where((tf >= jnp.maximum(tn, 0.0)) & (tf > 0.0),
+                           jnp.maximum(tn, 0.0), jnp.inf)
+            j = jnp.argmin(tn, axis=1)
+            tj = tn[jnp.arange(m), j]
+            better = tj < best_t
+            best_t = jnp.where(better, tj, best_t)
+            best_i = jnp.where(better, (c0 + j).astype(jnp.int32), best_i)
+        return best_i, best_t
+
+    if n <= ray_block:
+        return block(o, d)
+    outs = [block(o[r0:r0 + ray_block], d[r0:r0 + ray_block])
+            for r0 in range(0, n, ray_block)]
+    return (jnp.concatenate([x[0] for x in outs]),
+            jnp.concatenate([x[1] for x in outs]))
 
 
 def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None,

@@ -375,3 +375,21 @@ def test_firstcluster_key_scheme_matches(random_tri_soup, random_rays,
     oc = np.asarray(occluded_clusters(accel, jnp.asarray(o), jnp.asarray(d),
                                       t_max, chunk_rays=128, sort_rays=True))
     np.testing.assert_array_equal(oc, ob)
+
+
+def test_first_cluster_ray_blocking_matches(random_tri_soup, random_rays,
+                                            monkeypatch):
+    """_first_cluster's ray-axis blocking (spp-batched global sort scope
+    can reach ~8M lanes) is a pure memory bound: tiny block size must
+    reproduce the single-block result exactly."""
+    from pathtracer.kernels import packet
+
+    v0, v1, v2 = random_tri_soup
+    o, d = random_rays
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1),
+                           jnp.asarray(v2), max_clusters=16)
+    ref = packet._first_cluster(accel, jnp.asarray(o), jnp.asarray(d))
+    monkeypatch.setattr(packet, "FIRSTCLUSTER_RAY_BLOCK", 7)
+    blk = packet._first_cluster(accel, jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(blk[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(blk[1]))
