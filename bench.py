@@ -52,6 +52,10 @@ def main():
     # (benchmarks/priming_ab.py) lands.
     cfg = RenderConfig(width=width, height=height, spp=spp, max_depth=6,
                        intersector="cluster",
+                       # BENCH_SAMPLER=sobol measures the Owen-scrambled
+                       # Sobol draw cost (sampling/sobol.py) on the real
+                       # workload; estimator quality is pinned off-chip
+                       sampler=os.environ.get("BENCH_SAMPLER", "pcg"),
                        primary_priming=os.environ.get(
                            "BENCH_PRIMING", "0") != "0",
                        # one wavefront for all spp samples (x1.49 fewer

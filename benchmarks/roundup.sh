@@ -46,6 +46,11 @@ run fc-bounce-key 2700 env GRID="2048:3:-:-" PT_KEY_SCHEME=firstcluster python b
 run spp-batch 3600 env BENCH_FRAMES=4 BENCH_SPP_BATCH=1 BENCH_UNTEXTURED_REF=0 python bench.py
 run spp-loop 3600 env BENCH_FRAMES=4 BENCH_UNTEXTURED_REF=0 python bench.py
 
+# 2.8 Owen-scrambled Sobol draw-cost check (quality pinned off-chip by
+#     tests/test_sobol.py; this measures the ALU cost of the 32-step
+#     direction-vector loop on the true workload)
+run sobol-cost 3600 env BENCH_FRAMES=3 BENCH_SAMPLER=sobol BENCH_UNTEXTURED_REF=0 python bench.py
+
 # 3. want_blocker Mosaic compile validation, THEN priming A/B
 run blocker-probe 900 python benchmarks/blocker_probe.py
 SPP=4; [ "$Q" = quick ] && SPP=2

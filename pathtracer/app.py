@@ -167,6 +167,9 @@ def main(argv=None):
                     help="importance-sample the env map with MIS "
                          "(one extra shadow ray per bounce)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sampler", default="pcg", choices=["pcg", "sobol"],
+                    help="pcg = independent uniforms (reference class); "
+                         "sobol = Owen-scrambled Sobol (lower variance)")
     ap.add_argument("--intersector", default="cluster",
                     choices=["cluster", "bvh", "brute"])
     ap.add_argument("--traversal-backend", default="pallas",
@@ -202,7 +205,8 @@ def main(argv=None):
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, sky=args.sky,
                        env_importance_sampling=args.env_nee,
-                       seed=args.seed, intersector=args.intersector,
+                       seed=args.seed, sampler=args.sampler,
+                       intersector=args.intersector,
                        traversal_backend=args.traversal_backend,
                        primary_priming=args.priming,
                        denoise=args.denoise)

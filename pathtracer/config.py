@@ -57,6 +57,12 @@ class RenderConfig:
 
     # Base RNG seed, mixed into every counter-based sample key.
     seed: int = 0
+    # Sample generator: "pcg" = independent PCG4D uniforms (the
+    # reference's estimator class, common.glsl:27-49); "sobol" = padded
+    # Owen-scrambled Sobol (sampling/sobol.py) - same counter-based
+    # reproducibility, lower variance at equal spp (net-new capability,
+    # the reference has no low-discrepancy option).
+    sampler: str = "pcg"
 
     # Epsilon policy (values from raygen.rgen:130,144,164,199-204).
     t_min: float = 1e-3
@@ -170,6 +176,8 @@ class RenderConfig:
         if self.traversal_backend not in ("pallas", "xla"):
             raise ValueError(
                 f"unknown traversal backend: {self.traversal_backend!r}")
+        if self.sampler not in ("pcg", "sobol"):
+            raise ValueError(f"unknown sampler: {self.sampler!r}")
 
     @property
     def n_pixels(self) -> int:

@@ -101,7 +101,8 @@ class Camera:
 
 
 def generate_primary_rays(cam: CameraState, width: int, height: int,
-                          fov_deg: float, pixel_ids, sample_ids, seed=0):
+                          fov_deg: float, pixel_ids, sample_ids, seed=0,
+                          sampler="pcg"):
     """Jittered pinhole primary rays (raygen.rgen:103-119 semantics).
 
     pixel_ids: i32[N] flat pixel index (row-major, row 0 = image top).
@@ -113,7 +114,8 @@ def generate_primary_rays(cam: CameraState, width: int, height: int,
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
 
-    jx, jy = rng.uniform2(pixel_ids, sample_ids, 0, rng.SALT_JITTER, seed)
+    jx, jy = rng.uniform2(pixel_ids, sample_ids, 0, rng.SALT_JITTER, seed,
+                          sampler)
 
     # inUV in [0,1]^2 then NDC in [-1,1]^2 (raygen.rgen:110-111).
     u = (px + jx) / width * 2.0 - 1.0

@@ -338,7 +338,8 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
     """
     from pathtracer.scene import envlight
 
-    u = rng.uniform4(pixel, sample, depth, rng.SALT_ENV_SELECT, cfg.seed)
+    u = rng.uniform4(pixel, sample, depth, rng.SALT_ENV_SELECT, cfg.seed,
+                     cfg.sampler)
     l_dir, _, _ = envlight.sample_env(
         scene.env_marginal_cdf, scene.env_cond_cdf,
         u[..., 0], u[..., 1], u[..., 2], u[..., 3])
@@ -400,7 +401,8 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
     (failed hints are KEPT - area-light resampling can re-verify them
     next sample); otherwise returns contrib alone.
     """
-    u_sel = rng.uniform1(pixel, sample, depth, rng.SALT_LIGHT_SELECT, cfg.seed)
+    u_sel = rng.uniform1(pixel, sample, depth, rng.SALT_LIGHT_SELECT,
+                         cfg.seed, cfg.sampler)
     li = jnp.clip(jnp.searchsorted(scene.light_cdf, u_sel, side="left"),
                   0, scene.light_cdf.shape[0] - 1).astype(jnp.int32)
 
@@ -413,7 +415,8 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
     p_tri = scene.light_pdf[li]
 
     # Uniform point on the triangle (raygen.rgen:74-84).
-    r1, r2 = rng.uniform2(pixel, sample, depth, rng.SALT_LIGHT_UV, cfg.seed)
+    r1, r2 = rng.uniform2(pixel, sample, depth, rng.SALT_LIGHT_UV, cfg.seed,
+                          cfg.sampler)
     sr1 = jnp.sqrt(r1)
     b0 = (1.0 - sr1)[..., None]
     b1 = (r2 * sr1)[..., None]
@@ -690,7 +693,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             # three texture taps is a 1-tap estimate of the sRGB-space
             # bilinear value (see _sample_texture for the bias caveat)
             tex_u = rng.uniform2(pix, samp, depth, rng.SALT_TEX_FILTER,
-                                 cfg.seed)
+                                 cfg.seed, cfg.sampler)
         else:
             tex_u = None
         surf = fetch_surface(scene, surf_rows, hit, o, d,
@@ -747,7 +750,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
 
         # --- alpha stochastic transparency (raygen.rgen:143-146) ---
         u_alpha = rng.uniform1(pix, samp, depth, rng.SALT_ALPHA,
-                               cfg.seed)
+                               cfg.seed, cfg.sampler)
         passthrough = active & (surf.alpha < 0.99) & (u_alpha > surf.alpha)
 
         # --- dielectric (raygen.rgen:149-166) ---
@@ -761,7 +764,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         refl_prob = vmath.saturate(
             mf.schlick_scalar(jnp.abs(cosi), 0.04))  # raygen.rgen:158
         u_d = rng.uniform1(pix, samp, depth, rng.SALT_DIELECTRIC,
-                           cfg.seed)
+                           cfg.seed, cfg.sampler)
         take_refl = tir | (u_d < refl_prob)
         d_dielectric = jnp.where(take_refl[..., None],
                                  vmath.reflect(d, surf.normal), refr)
@@ -810,9 +813,9 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
 
         # --- BSDF sampling (raygen.rgen:263-283) ---
         u_lobe = rng.uniform1(pix, samp, depth,
-                              rng.SALT_BSDF_LOBE, cfg.seed)
+                              rng.SALT_BSDF_LOBE, cfg.seed, cfg.sampler)
         u1, u2 = rng.uniform2(pix, samp, depth, rng.SALT_BSDF_UV,
-                              cfg.seed)
+                              cfg.seed, cfg.sampler)
         p_spec = mf.lobe_select_prob(surf.metallic, surf.roughness)
         choose_spec = u_lobe < p_spec
         l_spec = mf.sample_ggx(surf.normal, view, surf.roughness, u1, u2)
@@ -859,7 +862,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         p = jnp.clip(vmath.maxc(throughput), cfg.rr_clamp_lo,
                      cfg.rr_clamp_hi)
         u_rr = rng.uniform1(pix, samp, depth, rng.SALT_RR,
-                            cfg.seed)
+                            cfg.seed, cfg.sampler)
         survive = u_rr <= p
         rr_applies = (active & ~passthrough & ~is_dielectric
                       & (depth > cfg.rr_start_depth))

@@ -86,7 +86,8 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
             gs = frame_idx * cfg.spp + s_rank * local_spp + jnp.uint32(s)
             sample_ids = jnp.full((m,), gs, jnp.uint32)
             o, d = cam_mod.generate_primary_rays(
-                cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids, cfg.seed)
+                cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids, cfg.seed,
+                cfg.sampler)
             r, pix_out, _, _, _ = path_mod.trace_paths(
                 scene, cfg, o, d, pixel_ids_local, sample_ids,
                 intersect_fn, occluded_fn)

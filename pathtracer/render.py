@@ -193,7 +193,8 @@ def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime,
     sample_ids = jnp.full(
         (n,), frame_idx * cfg.spp + jnp.asarray(s, jnp.uint32), jnp.uint32)
     o, d = cam_mod.generate_primary_rays(
-        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
+        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed,
+        cfg.sampler)
     radiance, pix_out, rays, prime_out, gbuf = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn,
         prime=prime, want_gbuffer=want_gbuffer)
@@ -276,7 +277,8 @@ def render_frame_batched(scene: Scene, cfg: RenderConfig,
     sample_ids = (frame_idx * spp
                   + jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n))
     o, d = cam_mod.generate_primary_rays(
-        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed)
+        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed,
+        cfg.sampler)
     if primed and prime is None:
         prime = jnp.full((n, 3), -1, jnp.int32)
     radiance, pix_out, rays, prime_out, gbuf = path_mod.trace_paths(

@@ -76,23 +76,39 @@ def _to_unit(bits):
     return (bits >> _U32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def uniform4(pixel, sample, depth, salt, seed=0):
-    """Four independent U[0,1) floats keyed on (pixel, sample, depth, salt).
+def uniform4(pixel, sample, depth, salt, seed=0, sampler="pcg"):
+    """Four U[0,1) floats keyed on (pixel, sample, depth, salt).
 
     pixel/sample broadcast together; depth & salt are per-bounce ints.
+    sampler (static): "pcg" = independent PCG4D uniforms (reference
+    estimator class, common.glsl:27-49); "sobol" = padded 4D
+    Owen-scrambled Sobol (sampling/sobol.py) - same counter-based
+    contract, lower variance at equal spp.
     """
     depth_salt = jnp.asarray(depth, _U32) * _U32(_SALTS_PER_DEPTH) + _U32(salt)
-    bits = pcg4d(_key(pixel, sample, depth_salt, seed))
+    if sampler == "sobol":
+        from pathtracer.sampling import sobol as sobol_mod
+
+        sample = jnp.asarray(sample, _U32)
+        shape = jnp.broadcast_shapes(jnp.asarray(pixel).shape, sample.shape)
+        sample = jnp.broadcast_to(sample, shape)
+        # Group key: everything BUT the sample index (the Sobol counter).
+        gk = pcg4d(_key(pixel, _U32(0x536F626C), depth_salt, seed))
+        bits = sobol_mod.scrambled_sobol4(sample, gk)
+    elif sampler == "pcg":
+        bits = pcg4d(_key(pixel, sample, depth_salt, seed))
+    else:
+        raise ValueError(f"unknown sampler {sampler!r} (pcg|sobol)")
     return _to_unit(bits)
 
 
-def uniform2(pixel, sample, depth, salt, seed=0):
-    u = uniform4(pixel, sample, depth, salt, seed)
+def uniform2(pixel, sample, depth, salt, seed=0, sampler="pcg"):
+    u = uniform4(pixel, sample, depth, salt, seed, sampler)
     return u[..., 0], u[..., 1]
 
 
-def uniform1(pixel, sample, depth, salt, seed=0):
-    return uniform4(pixel, sample, depth, salt, seed)[..., 0]
+def uniform1(pixel, sample, depth, salt, seed=0, sampler="pcg"):
+    return uniform4(pixel, sample, depth, salt, seed, sampler)[..., 0]
 
 
 # ---------------------------------------------------------------------------
