@@ -61,4 +61,9 @@ FRAMES=8; [ "$Q" = quick ] && FRAMES=3
 run bench-textured 5400 env BENCH_FRAMES=$FRAMES python bench.py
 run bench-untextured 5400 env BENCH_FRAMES=$FRAMES BENCH_TEXTURED=0 python bench.py
 
+# 5. full-scale BASELINE config sweep (VERDICT r1 item 8: all five
+#    configs at their specified resolutions; quick mode halves scale)
+SCALE=1.0; [ "$Q" = quick ] && SCALE=0.5
+run baseline-configs 10800 python benchmarks/run_configs.py --scale "$SCALE" --frames 3
+
 echo "ROUNDUP DONE $(date +%T)" | tee -a "$LOG"

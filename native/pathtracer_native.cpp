@@ -14,9 +14,11 @@
 // component types. Anything unsupported returns a nonzero code and the
 // Python caller falls back to PIL / numpy.
 
+#include <algorithm>
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 #include <zlib.h>
@@ -412,6 +414,345 @@ int pt_hdr_decode(const uint8_t* data, int64_t n, int32_t w, int32_t h,
       o[x * 3 + 2] = row[size_t(x) * 4 + 2] * scale;
     }
   }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Spatial-split SAH leaf build (SBVH-style) - the host-side accel build.
+//
+// Native counterpart of accel/cluster.py:_sah_split_leaves (which stays as
+// the pure-Python fallback and the semantics oracle). The reference gets
+// its acceleration structure from the driver's native build
+// (core/accel.h:21-45, buildAccelerationStructuresKHR); here the "driver"
+// is this library: top-down binned SAH over triangle references with
+// SBVH spatial splits (straddling triangles are duplicated into clipped
+// boxes, capped at dup_budget * T references), producing flat leaves of
+// <= k triangles for the cluster/packet traversal.
+//
+// Semantics mirror the Python build (same binning, same cost model, same
+// commit rules); floating-point tie-breaks may differ, which only moves
+// leaf boundaries - coverage invariants and traversal exactness are
+// independent of the partition (tests/test_packet.py).
+
+namespace {
+
+struct SahRef {
+  int32_t tri;
+  float lo[3];
+  float hi[3];
+};
+
+inline float box_area(const float lo[3], const float hi[3]) {
+  float e0 = hi[0] - lo[0], e1 = hi[1] - lo[1], e2 = hi[2] - lo[2];
+  if (e0 < 0) e0 = 0;
+  if (e1 < 0) e1 = 0;
+  if (e2 < 0) e2 = 0;
+  return e0 * e1 + e1 * e2 + e0 * e2;
+}
+
+constexpr float kInf = std::numeric_limits<float>::infinity();
+
+struct BinBox {
+  float lo[3] = {kInf, kInf, kInf};
+  float hi[3] = {-kInf, -kInf, -kInf};
+  void extend(const float l[3], const float h[3]) {
+    for (int c = 0; c < 3; ++c) {
+      if (l[c] < lo[c]) lo[c] = l[c];
+      if (h[c] > hi[c]) hi[c] = h[c];
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Build SBVH-style SAH leaves over t triangles. Outputs:
+//   n_leaves_out      <- number of leaves L
+//   leaf_off[0..L]    <- prefix offsets into leaf_ids (leaf i owns
+//                        ids[leaf_off[i]..leaf_off[i+1])), deduplicated
+//   leaf_ids          <- triangle ids per leaf
+//   leaf_lo/leaf_hi   <- [L, 3] clipped-union cluster AABBs
+// Capacities: cap_leaves rows in leaf_off-1/leaf_lo/leaf_hi, cap_ids in
+// leaf_ids; both are satisfied by int(dup_budget * t) + 8. Returns 0 on
+// success, 1 on capacity overflow, 2 on bad arguments.
+int pt_sah_split_build(const float* v0, const float* v1, const float* v2,
+                       int64_t t, int32_t k, int32_t n_bins,
+                       float dup_budget, int32_t* n_leaves_out,
+                       int32_t* leaf_off, int32_t* leaf_ids, float* leaf_lo,
+                       float* leaf_hi, int32_t cap_leaves, int64_t cap_ids) {
+  if (t <= 0 || k <= 0 || n_bins < 2 || n_bins > 256 || dup_budget < 1.0f)
+    return 2;
+  const int64_t budget = int64_t(dup_budget * double(t));
+
+  // refs: one per triangle initially; spatial splits append clipped copies
+  std::vector<SahRef> refs(static_cast<size_t>(t));
+  for (int64_t i = 0; i < t; ++i) {
+    SahRef& r = refs[size_t(i)];
+    r.tri = int32_t(i);
+    for (int c = 0; c < 3; ++c) {
+      float a = v0[i * 3 + c], b = v1[i * 3 + c], d = v2[i * 3 + c];
+      r.lo[c] = std::min(a, std::min(b, d));
+      r.hi[c] = std::max(a, std::max(b, d));
+    }
+  }
+  int64_t refs_total = t;
+
+  std::vector<std::vector<int32_t>> stack;
+  {
+    std::vector<int32_t> all(static_cast<size_t>(t));
+    for (int64_t i = 0; i < t; ++i) all[size_t(i)] = int32_t(i);
+    stack.push_back(std::move(all));
+  }
+
+  int32_t n_leaves = 0;
+  int64_t ids_used = 0;
+  leaf_off[0] = 0;
+  std::vector<BinBox> bins(static_cast<size_t>(n_bins));
+  std::vector<int64_t> cnt(static_cast<size_t>(n_bins));
+  std::vector<int64_t> enter_c(static_cast<size_t>(n_bins)), exit_c(static_cast<size_t>(n_bins));
+  std::vector<BinBox> pre(static_cast<size_t>(n_bins)), suf(static_cast<size_t>(n_bins));
+
+  auto sweep_cost = [&](const std::vector<BinBox>& bb,
+                        const std::vector<int64_t>& nl,
+                        const std::vector<int64_t>& nr, int* best_j) {
+    // prefix/suffix box sweeps + SAH cost; nl[j]/nr[j] are counts for the
+    // plane after bin j (left = bins 0..j, right = bins j+1..)
+    pre[0] = bb[0];
+    for (int j = 1; j < n_bins; ++j) {
+      pre[size_t(j)] = pre[size_t(j - 1)];
+      pre[size_t(j)].extend(bb[size_t(j)].lo, bb[size_t(j)].hi);
+    }
+    suf[size_t(n_bins - 1)] = bb[size_t(n_bins - 1)];
+    for (int j = n_bins - 2; j >= 0; --j) {
+      suf[size_t(j)] = suf[size_t(j + 1)];
+      suf[size_t(j)].extend(bb[size_t(j)].lo, bb[size_t(j)].hi);
+    }
+    float best = kInf;
+    *best_j = -1;
+    for (int j = 0; j < n_bins - 1; ++j) {
+      if (nl[size_t(j)] == 0 || nr[size_t(j)] == 0) continue;
+      float c = box_area(pre[size_t(j)].lo, pre[size_t(j)].hi) *
+                    float(nl[size_t(j)]) +
+                box_area(suf[size_t(j + 1)].lo, suf[size_t(j + 1)].hi) *
+                    float(nr[size_t(j)]);
+      if (c < best) {
+        best = c;
+        *best_j = j;
+      }
+    }
+    return best;
+  };
+
+  while (!stack.empty()) {
+    std::vector<int32_t> idx = std::move(stack.back());
+    stack.pop_back();
+    const int64_t n = int64_t(idx.size());
+
+    if (n <= k) {  // emit a leaf: dedup tri ids, clipped-union box
+      if (n_leaves >= cap_leaves) return 1;
+      BinBox u;
+      std::vector<int32_t> ids;
+      ids.reserve(size_t(n));
+      for (int32_t ri : idx) {
+        const SahRef& r = refs[size_t(ri)];
+        u.extend(r.lo, r.hi);
+        ids.push_back(r.tri);
+      }
+      std::sort(ids.begin(), ids.end());
+      ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+      if (ids_used + int64_t(ids.size()) > cap_ids) return 1;
+      for (int32_t id : ids) leaf_ids[ids_used++] = id;
+      leaf_off[n_leaves + 1] = int32_t(ids_used);
+      for (int c = 0; c < 3; ++c) {
+        leaf_lo[n_leaves * 3 + c] = u.lo[c];
+        leaf_hi[n_leaves * 3 + c] = u.hi[c];
+      }
+      ++n_leaves;
+      continue;
+    }
+
+    // node bounds: centroid box (clo/chi) for object bins, ref box
+    // (nlo/nhi) for spatial planes
+    float clo[3] = {kInf, kInf, kInf}, chi[3] = {-kInf, -kInf, -kInf};
+    float nlo[3] = {kInf, kInf, kInf}, nhi[3] = {-kInf, -kInf, -kInf};
+    for (int32_t ri : idx) {
+      const SahRef& r = refs[size_t(ri)];
+      for (int c = 0; c < 3; ++c) {
+        float cen = (r.lo[c] + r.hi[c]) * 0.5f;
+        if (cen < clo[c]) clo[c] = cen;
+        if (cen > chi[c]) chi[c] = cen;
+        if (r.lo[c] < nlo[c]) nlo[c] = r.lo[c];
+        if (r.hi[c] > nhi[c]) nhi[c] = r.hi[c];
+      }
+    }
+
+    // --- object split (centroid bins, SAH over ref boxes) ---
+    float obj_cost = kInf;
+    int obj_axis = -1, obj_bin = -1;
+    for (int ax = 0; ax < 3; ++ax) {
+      const float ext = chi[ax] - clo[ax];
+      if (!(ext > 0)) continue;
+      const float scale = float(n_bins) / ext;
+      for (int j = 0; j < n_bins; ++j) {
+        bins[size_t(j)] = BinBox();
+        cnt[size_t(j)] = 0;
+      }
+      for (int32_t ri : idx) {
+        const SahRef& r = refs[size_t(ri)];
+        int b = int(((r.lo[ax] + r.hi[ax]) * 0.5f - clo[ax]) * scale);
+        if (b > n_bins - 1) b = n_bins - 1;
+        if (b < 0) b = 0;
+        bins[size_t(b)].extend(r.lo, r.hi);
+        ++cnt[size_t(b)];
+      }
+      std::vector<int64_t> nl(size_t(n_bins), 0), nr(size_t(n_bins), 0);
+      int64_t acc = 0;
+      for (int j = 0; j < n_bins; ++j) {
+        acc += cnt[size_t(j)];
+        nl[size_t(j)] = acc;
+        nr[size_t(j)] = n - acc;
+      }
+      int j;
+      float c = sweep_cost(bins, nl, nr, &j);
+      if (j >= 0 && c < obj_cost) {
+        obj_cost = c;
+        obj_axis = ax;
+        obj_bin = j;
+      }
+    }
+
+    // --- spatial split (uniform planes over the node box) ---
+    float spa_cost = kInf, spa_px = 0.0f;
+    int spa_axis = -1;
+    if (refs_total < budget) {
+      for (int ax = 0; ax < 3; ++ax) {
+        const float nex = nhi[ax] - nlo[ax];
+        if (!(nex > 0)) continue;
+        const float scale = float(n_bins) / nex;
+        for (int j = 0; j < n_bins; ++j) {
+          bins[size_t(j)] = BinBox();
+          enter_c[size_t(j)] = 0;
+          exit_c[size_t(j)] = 0;
+        }
+        for (int32_t ri : idx) {
+          const SahRef& r = refs[size_t(ri)];
+          int lob = int((r.lo[ax] - nlo[ax]) * scale);
+          int hib = int((r.hi[ax] - nlo[ax]) * scale);
+          if (lob < 0) lob = 0;
+          if (lob > n_bins - 1) lob = n_bins - 1;
+          if (hib < 0) hib = 0;
+          if (hib > n_bins - 1) hib = n_bins - 1;
+          ++enter_c[size_t(lob)];
+          ++exit_c[size_t(hib)];
+          for (int bb = lob; bb <= hib; ++bb) {
+            float l[3] = {r.lo[0], r.lo[1], r.lo[2]};
+            float h[3] = {r.hi[0], r.hi[1], r.hi[2]};
+            const float slab_lo = nlo[ax] + float(bb) / scale;
+            const float slab_hi = nlo[ax] + float(bb + 1) / scale;
+            if (l[ax] < slab_lo) l[ax] = slab_lo;
+            if (h[ax] > slab_hi) h[ax] = slab_hi;
+            bins[size_t(bb)].extend(l, h);
+          }
+        }
+        std::vector<int64_t> nl(size_t(n_bins), 0), nr(size_t(n_bins), 0);
+        int64_t ein = 0, eout = 0;
+        for (int j = 0; j < n_bins; ++j) {
+          ein += enter_c[size_t(j)];
+          eout += exit_c[size_t(j)];
+          nl[size_t(j)] = ein;       // refs with lob <= j
+          nr[size_t(j)] = n - eout;  // refs with hib > j
+        }
+        int j;
+        float c = sweep_cost(bins, nl, nr, &j);
+        if (j >= 0 && c < spa_cost) {
+          spa_cost = c;
+          spa_axis = ax;
+          spa_px = nlo[ax] + float(j + 1) / scale;
+        }
+      }
+    }
+
+    if (spa_axis >= 0 && spa_cost < obj_cost) {
+      const int ax = spa_axis;
+      const float px = spa_px;
+      std::vector<int32_t> li, ri_;
+      li.reserve(idx.size());
+      ri_.reserve(idx.size());
+      int64_t n_new = 0;
+      for (int32_t ri : idx) {
+        const SahRef& r = refs[size_t(ri)];
+        bool gl = r.lo[ax] < px;
+        bool gr = r.hi[ax] > px;
+        if (!gl && !gr) gl = true;  // degenerate: box == plane -> left
+        if (gl && gr) ++n_new;
+      }
+      const bool commit = n_new >= 0 && refs_total + n_new <= budget;
+      // both sides non-empty?
+      int64_t cl = 0, cr = 0;
+      for (int32_t ri : idx) {
+        const SahRef& r = refs[size_t(ri)];
+        bool gl = r.lo[ax] < px;
+        bool gr = r.hi[ax] > px;
+        if (!gl && !gr) gl = true;
+        if (gl) ++cl;
+        if (gr) ++cr;
+      }
+      if (commit && cl > 0 && cr > 0) {
+        for (int32_t ri : idx) {
+          SahRef& r = refs[size_t(ri)];
+          bool gl = r.lo[ax] < px;
+          bool gr = r.hi[ax] > px;
+          if (!gl && !gr) gl = true;
+          if (gl && gr) {  // straddler: left keeps clip, right gets copy
+            SahRef nr_ = r;
+            nr_.lo[ax] = std::max(nr_.lo[ax], px);
+            r.hi[ax] = px;
+            li.push_back(ri);
+            ri_.push_back(int32_t(refs.size()));
+            refs.push_back(nr_);
+          } else if (gl) {
+            li.push_back(ri);
+          } else {
+            ri_.push_back(ri);
+          }
+        }
+        refs_total += n_new;
+        stack.push_back(std::move(li));
+        stack.push_back(std::move(ri_));
+        continue;
+      }
+      // budget blown or one-sided plane: fall through to object split
+    }
+
+    if (obj_axis >= 0) {
+      const int ax = obj_axis;
+      const float scale = float(n_bins) / (chi[ax] - clo[ax]);
+      std::vector<int32_t> li, ri_;
+      li.reserve(idx.size());
+      ri_.reserve(idx.size());
+      for (int32_t ri : idx) {
+        const SahRef& r = refs[size_t(ri)];
+        int b = int(((r.lo[ax] + r.hi[ax]) * 0.5f - clo[ax]) * scale);
+        if (b > n_bins - 1) b = n_bins - 1;
+        if (b < 0) b = 0;
+        (b <= obj_bin ? li : ri_).push_back(ri);
+      }
+      stack.push_back(std::move(li));
+      stack.push_back(std::move(ri_));
+      continue;
+    }
+
+    // degenerate centroids AND no spatial split: split by index halves
+    std::vector<int32_t> li(idx.begin(), idx.begin() + idx.size() / 2);
+    std::vector<int32_t> ri_(idx.begin() + idx.size() / 2, idx.end());
+    stack.push_back(std::move(li));
+    stack.push_back(std::move(ri_));
+  }
+
+  *n_leaves_out = n_leaves;
   return 0;
 }
 

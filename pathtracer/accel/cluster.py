@@ -434,9 +434,19 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
         k = min_k  # occupancy is variable; cluster count floats instead
         box_override = None
         if method == "sahsplit":
-            leaves, leaf_lo, leaf_hi = _sah_split_leaves(
-                np.asarray(v0), np.asarray(v1), np.asarray(v2), k,
-                dup_budget=float(os.environ.get("PT_SAH_DUP", "1.5")))
+            dup = float(os.environ.get("PT_SAH_DUP", "1.5"))
+            res = None
+            if os.environ.get("PT_NATIVE_BUILD", "1") != "0":
+                from pathtracer.utils import native as native_mod
+
+                res = native_mod.sah_split_build(
+                    np.asarray(v0), np.asarray(v1), np.asarray(v2), k,
+                    dup_budget=dup)
+            if res is None:  # no toolchain: pure-Python oracle build
+                res = _sah_split_leaves(
+                    np.asarray(v0), np.asarray(v1), np.asarray(v2), k,
+                    dup_budget=dup)
+            leaves, leaf_lo, leaf_hi = res
             box_override = (leaf_lo, leaf_hi)
         else:
             deep = (float(os.environ.get("PT_SAH_DEEP", "0.8"))

@@ -75,6 +75,11 @@ def _load():
         lib.pt_hdr_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
                                       ctypes.c_int32, f32p]
         lib.pt_hdr_decode.restype = ctypes.c_int
+        lib.pt_sah_split_build.argtypes = [
+            f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_float, i32p, i32p, i32p, f32p, f32p,
+            ctypes.c_int32, ctypes.c_int64]
+        lib.pt_sah_split_build.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -140,6 +145,50 @@ def png_encode(img: np.ndarray):
                          ctypes.byref(n)) != 0:
         return None
     return out[:n.value].tobytes()
+
+
+def sah_split_build(v0, v1, v2, k: int, n_bins: int = 16,
+                    dup_budget: float = 1.5):
+    """SBVH-style spatial-split SAH leaf build (native counterpart of
+    accel/cluster.py:_sah_split_leaves - the role the driver's native AS
+    build plays in the reference, core/accel.h:21-45).
+
+    v0/v1/v2: f32 [T, 3] triangle vertices.
+    Returns (leaves, leaf_lo, leaf_hi) exactly like _sah_split_leaves:
+    a list of unique-id int32 arrays (each <= k) plus the clipped-union
+    cluster AABBs, or None if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    t = int(v0.shape[0])
+    v0 = np.ascontiguousarray(v0, np.float32)
+    v1 = np.ascontiguousarray(v1, np.float32)
+    v2 = np.ascontiguousarray(v2, np.float32)
+    cap = int(dup_budget * t) + 8
+    n_leaves = ctypes.c_int32()
+    leaf_off = np.empty(cap + 1, np.int32)
+    leaf_ids = np.empty(cap, np.int32)
+    leaf_lo = np.empty((cap, 3), np.float32)
+    leaf_hi = np.empty((cap, 3), np.float32)
+
+    def f32p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    def i32p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    rc = lib.pt_sah_split_build(
+        f32p(v0), f32p(v1), f32p(v2), t, k, n_bins,
+        ctypes.c_float(dup_budget), ctypes.byref(n_leaves),
+        i32p(leaf_off), i32p(leaf_ids), f32p(leaf_lo), f32p(leaf_hi),
+        cap, cap)
+    if rc != 0:
+        return None
+    nl = n_leaves.value
+    leaves = [leaf_ids[leaf_off[i]:leaf_off[i + 1]].copy()
+              for i in range(nl)]
+    return leaves, leaf_lo[:nl].copy(), leaf_hi[:nl].copy()
 
 
 def accessor_to_f32(buf: bytes, offset: int, count: int, n_comp: int,

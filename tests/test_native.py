@@ -100,3 +100,115 @@ def test_accessor_i32_u16():
 def test_accessor_bounds_checked():
     assert native.accessor_to_f32(b"\x00" * 10, 0, 4, 3, 5126, 0,
                                   False) is None
+
+
+def _room_scene(n_clutter=400, seed=11):
+    """Huge straddling quads + clutter: the spatial-split trigger case."""
+    rng = np.random.default_rng(seed)
+    quads = [
+        ((-10, 0, -10), (10, 0, -10), (10, 0, 10), (-10, 0, 10)),
+        ((-10, 8, -10), (10, 8, -10), (10, 8, 10), (-10, 8, 10)),
+        ((-10, 0, -10), (10, 0, -10), (10, 8, -10), (-10, 8, -10)),
+    ]
+    tv0, tv1, tv2 = [], [], []
+    for a, b, c, d in quads:
+        tv0 += [a, a]
+        tv1 += [b, c]
+        tv2 += [c, d]
+    base = rng.uniform(-9, 9, (n_clutter, 3)).astype(np.float32)
+    base[:, 1] = rng.uniform(0.2, 7.5, n_clutter)
+    v0 = np.concatenate([np.array(tv0, np.float32), base])
+    v1 = np.concatenate([np.array(tv1, np.float32),
+                         base + rng.uniform(-.4, .4, (n_clutter, 3))
+                         .astype(np.float32)])
+    v2 = np.concatenate([np.array(tv2, np.float32),
+                         base + rng.uniform(-.4, .4, (n_clutter, 3))
+                         .astype(np.float32)])
+    return v0, v1, v2
+
+
+def test_sah_split_build_invariants():
+    """Native SBVH build: coverage, leaf bounds, clipped-union property."""
+    v0, v1, v2 = _room_scene()
+    t = v0.shape[0]
+    k = 32
+    res = native.sah_split_build(v0, v1, v2, k)
+    assert res is not None
+    leaves, lo, hi = res
+    assert len(leaves) == lo.shape[0] == hi.shape[0]
+    all_ids = np.concatenate(leaves)
+    # every triangle is referenced (duplicates allowed - SBVH)
+    np.testing.assert_array_equal(np.unique(all_ids), np.arange(t))
+    assert all_ids.shape[0] > t, "spatial splits never triggered"
+    for leaf in leaves:
+        assert 1 <= leaf.shape[0] <= k
+        assert np.unique(leaf).shape[0] == leaf.shape[0]  # deduped
+    # a triangle's clipped boxes union to its full AABB: the union of
+    # the boxes of every leaf containing tri i must cover tri i's AABB
+    # (THE exactness invariant - the cull may never miss a hit)
+    tlo = np.minimum(np.minimum(v0, v1), v2)
+    thi = np.maximum(np.maximum(v0, v1), v2)
+    ulo = np.full_like(tlo, np.inf)
+    uhi = np.full_like(thi, -np.inf)
+    for i, leaf in enumerate(leaves):
+        np.minimum.at(ulo, leaf, lo[i])
+        np.maximum.at(uhi, leaf, hi[i])
+    eps = 1e-4
+    assert (ulo <= tlo + eps).all()
+    assert (uhi >= thi - eps).all()
+
+
+def test_sah_split_build_matches_python_quality():
+    """Native vs pure-Python builder: same cost model => same quality.
+
+    Float tie-breaks may shuffle leaf boundaries, so assert parity of
+    the quality metrics (summed clipped-leaf surface area, leaf count),
+    not bit-equality of the partition."""
+    from pathtracer.accel.cluster import _sah_split_leaves
+
+    v0, v1, v2 = _room_scene(n_clutter=600, seed=5)
+    k = 32
+    nat = native.sah_split_build(v0, v1, v2, k)
+    assert nat is not None
+    py = _sah_split_leaves(v0, v1, v2, k)
+
+    def sa(lo, hi):
+        e = np.maximum(hi - lo, 0.0)
+        return float((e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2]
+                      + e[:, 0] * e[:, 2]).sum())
+
+    sa_nat, sa_py = sa(nat[1], nat[2]), sa(py[1], py[2])
+    assert abs(len(nat[0]) - len(py[0])) <= max(4, len(py[0]) // 10)
+    assert sa_nat <= sa_py * 1.05, (sa_nat, sa_py)
+
+
+def test_sah_split_native_accel_exact(monkeypatch):
+    """build_clusters(sahsplit) through BOTH builders stays brute-exact."""
+    import jax.numpy as jnp
+
+    from pathtracer.accel.cluster import build_clusters
+    from pathtracer.kernels.intersect import intersect_brute
+    from pathtracer.kernels.packet import intersect_clusters
+
+    v0n, v1n, v2n = _room_scene(n_clutter=300, seed=7)
+    v0, v1, v2 = map(jnp.asarray, (v0n, v1n, v2n))
+    rng = np.random.default_rng(3)
+    n = 256
+    o = rng.uniform(-9, 9, (n, 3)).astype(np.float32)
+    o[:, 1] = rng.uniform(0.5, 7.5, n)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    ref = intersect_brute(o, d, v0, v1, v2, 1e-3, 1e20)
+
+    for env in ("1", "0"):
+        monkeypatch.setenv("PT_NATIVE_BUILD", env)
+        accel = build_clusters(v0, v1, v2, 8, method="sahsplit")
+        hit = intersect_clusters(accel, o, d, 1e-3, 1e20)
+        np.testing.assert_array_equal(np.asarray(hit.tri) >= 0,
+                                      np.asarray(ref.tri) >= 0,
+                                      err_msg=f"native={env}")
+        m = np.asarray(ref.tri) >= 0
+        np.testing.assert_allclose(np.asarray(hit.t)[m],
+                                   np.asarray(ref.t)[m], rtol=1e-5,
+                                   err_msg=f"native={env}")
