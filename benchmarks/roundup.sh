@@ -25,6 +25,11 @@ run() {  # run <label> <timeout_s> <cmd...>
 run chip-sanity 180 python -c "import jax, jax.numpy as jnp; print(float(jnp.sum(jnp.ones((8,128)))))" || true
 grep -q "1024.0" "$LOG" || { echo "TUNNEL DOWN - aborting" | tee -a "$LOG"; exit 1; }
 
+# 0.5 BANK A HEADLINE NUMBER FIRST: a short textured bench at the new
+#     defaults (sahsplit + firstcluster occl key, PERF.md 0.22-0.25).
+#     If the tunnel dies mid-roundup we still have the judged metric.
+run bench-bank 4200 env BENCH_FRAMES=3 python bench.py
+
 # 1. fetch-group grid on the headline frame (1 spp; ~6 entries)
 #    entries: CHUNK_TILES:closest_db:cpi:fetch_group
 GRID_FG="2048:3:-:-,2048:3:-:2,2048:3:-:4,2048:3:24:2,2048:3:8:-,2048:3:16:2"
