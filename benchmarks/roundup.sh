@@ -32,7 +32,9 @@ run bench-bank 4200 env BENCH_FRAMES=3 python bench.py
 
 # 1. fetch-group grid on the headline frame (1 spp; ~6 entries)
 #    entries: CHUNK_TILES:closest_db:cpi:fetch_group
-GRID_FG="2048:3:-:-,2048:3:-:2,2048:3:-:4,2048:3:24:2,2048:3:8:-,2048:3:16:2"
+# CPI legs first: pair_stats on the sahsplit accel predicts the g=2/4
+# legs lose (PERF.md 0.30) - confirm cheaply at the tail
+GRID_FG="2048:3:-:-,2048:3:8:-,2048:3:16:-,2048:3:24:-,2048:3:-:2,2048:3:16:2"
 run fetch-group-grid 5400 env GRID="$GRID_FG" python benchmarks/frame_ab.py
 
 # 2. on-chip confirmation of the off-chip column-count flips

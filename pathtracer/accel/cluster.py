@@ -453,6 +453,36 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
                     if method == "sahdeep" else None)
             leaves = _sah_leaves(np.asarray(v0), np.asarray(v1),
                                  np.asarray(v2), k, deep_ratio=deep)
+        # Morton-order the LEAVES: the SAH builds emit leaves in DFS
+        # stack order, which misaligns spatial siblings relative to the
+        # ALIGNED id groups the sweep's fetch-group DMA reads
+        # (kernels/pallas_sweep start_dma at PT_FETCH_GROUP > 1).
+        # Measured (benchmarks/pair_stats.py, 51k/640 clusters, bounce
+        # tiles): DFS order g=2 inflates iterations +49%; Morton order
+        # restores the sibling coincidence the fetch-group axis needs.
+        # Schedule quality is unaffected - cull + schedule treat ids
+        # opaquely.
+        if box_override is not None:
+            cen = (box_override[0] + box_override[1]) * 0.5
+        else:
+            a0, a1, a2 = np.asarray(v0), np.asarray(v1), np.asarray(v2)
+            cen = np.stack([
+                (np.minimum(np.minimum(a0[l], a1[l]), a2[l]).min(0)
+                 + np.maximum(np.maximum(a0[l], a1[l]), a2[l]).max(0))
+                * 0.5 for l in leaves])
+        lo_s, hi_s = cen.min(axis=0), cen.max(axis=0)
+        q = ((cen - lo_s) / np.maximum(hi_s - lo_s, 1e-20)
+             * 1023.0).astype(np.uint64)
+        code = np.zeros(len(leaves), np.uint64)
+        for b in range(10):
+            for ax in range(3):
+                code |= (((q[:, ax] >> np.uint64(b)) & np.uint64(1))
+                         << np.uint64(3 * b + ax))
+        lorder = np.argsort(code, kind="stable")
+        leaves = [leaves[i] for i in lorder]
+        if box_override is not None:
+            box_override = (box_override[0][lorder],
+                            box_override[1][lorder])
         # pad cluster count to a 128 multiple with empty clusters so
         # every downstream [*, C] op stays lane-aligned
         c = -(-len(leaves) // 128) * 128
