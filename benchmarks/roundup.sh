@@ -30,6 +30,10 @@ grep -q "1024.0" "$LOG" || { echo "TUNNEL DOWN - aborting" | tee -a "$LOG"; exit
 #     If the tunnel dies mid-roundup we still have the judged metric.
 run bench-bank 4200 env BENCH_FRAMES=3 python bench.py
 
+# 0.7 per-iteration cost ATTRIBUTION (loop / DMA starts / wait / ALU):
+#     decides which fixed-cost lever the grid results mean (PERF.md 0.30)
+run sweep-attrib 1800 python benchmarks/sweep_attrib.py
+
 # 1. fetch-group grid on the headline frame (1 spp; ~6 entries)
 #    entries: CHUNK_TILES:closest_db:cpi:fetch_group
 # CPI legs first: pair_stats on the sahsplit accel predicts the g=2/4
