@@ -38,7 +38,7 @@ run sweep-attrib 1800 python benchmarks/sweep_attrib.py
 #    entries: CHUNK_TILES:closest_db:cpi:fetch_group
 # CPI legs first: pair_stats on the sahsplit accel predicts the g=2/4
 # legs lose (PERF.md 0.30) - confirm cheaply at the tail
-GRID_FG="2048:3:-:-,2048:3:8:-,2048:3:16:-,2048:3:24:-,2048:3:-:2,2048:3:16:2"
+GRID_FG="2048:3:-:-,2048:3:8:-,2048:3:16:-,2048:3:24:-,2048:3:-:2,2048:3:16:2,2048:3:-:4"
 run fetch-group-grid 5400 env GRID="$GRID_FG" python benchmarks/frame_ab.py
 
 # 2. on-chip confirmation of the off-chip column-count flips

@@ -85,6 +85,12 @@ def _kernel(st_ref, si_ref, rays_ref, blocks_ref, out_ref, scratch, sems,
     use_dma = variant in ("noalu", "dma1", "full")
     use_alu = variant in ("nodma", "full")
 
+    if not use_dma:
+        # the DMA-less variants read scratch; uninitialized VMEM can hold
+        # inf/NaN bit patterns that would poison the acc carry and end
+        # the loop early, corrupting the F_loop baseline
+        scratch[0] = jnp.zeros_like(scratch[0])
+
     if use_dma:
         for c0 in range(SLOTS - 1):
             if c0 == 0:
@@ -172,8 +178,8 @@ def run_variant(variant, tiles, n_cols, cpi, c_clusters, blocks, rays,
     call = fn
     fn = jax.jit(lambda a, b, c, d: call(a, b, c, d)[0])
     args = (jnp.asarray(st), jnp.asarray(si), rays, blocks)
-    out = fn(*args)
-    float(jnp.sum(out))                      # warm + sync
+    for _ in range(1 if interpret else 3):   # CLAUDE.md: >= 3 host-synced
+        float(jnp.sum(fn(*args)))            # warm-up runs before timing
     t0 = time.time()
     reps = 1 if interpret else 3
     for _ in range(reps):

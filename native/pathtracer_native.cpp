@@ -678,42 +678,34 @@ int pt_sah_split_build(const float* v0, const float* v1, const float* v2,
     if (spa_axis >= 0 && spa_cost < obj_cost) {
       const int ax = spa_axis;
       const float px = spa_px;
-      std::vector<int32_t> li, ri_;
-      li.reserve(idx.size());
-      ri_.reserve(idx.size());
-      int64_t n_new = 0;
-      for (int32_t ri : idx) {
-        const SahRef& r = refs[size_t(ri)];
-        bool gl = r.lo[ax] < px;
-        bool gr = r.hi[ax] > px;
-        if (!gl && !gr) gl = true;  // degenerate: box == plane -> left
-        if (gl && gr) ++n_new;
-      }
-      const bool commit = n_new >= 0 && refs_total + n_new <= budget;
-      // both sides non-empty?
-      int64_t cl = 0, cr = 0;
-      for (int32_t ri : idx) {
-        const SahRef& r = refs[size_t(ri)];
-        bool gl = r.lo[ax] < px;
-        bool gr = r.hi[ax] > px;
-        if (!gl && !gr) gl = true;
+      // one classification pass: 0 = left, 1 = right, 2 = straddler
+      // (degenerate box == plane goes left)
+      std::vector<uint8_t> side(idx.size());
+      int64_t n_new = 0, cl = 0, cr = 0;
+      for (size_t i = 0; i < idx.size(); ++i) {
+        const SahRef& r = refs[size_t(idx[i])];
+        const bool gl = r.lo[ax] < px || r.hi[ax] <= px;
+        const bool gr = r.hi[ax] > px;
+        side[i] = (gl && gr) ? 2 : (gl ? 0 : 1);
+        if (side[i] == 2) ++n_new;
         if (gl) ++cl;
         if (gr) ++cr;
       }
-      if (commit && cl > 0 && cr > 0) {
-        for (int32_t ri : idx) {
-          SahRef& r = refs[size_t(ri)];
-          bool gl = r.lo[ax] < px;
-          bool gr = r.hi[ax] > px;
-          if (!gl && !gr) gl = true;
-          if (gl && gr) {  // straddler: left keeps clip, right gets copy
+      if (refs_total + n_new <= budget && cl > 0 && cr > 0) {
+        std::vector<int32_t> li, ri_;
+        li.reserve(idx.size());
+        ri_.reserve(idx.size());
+        for (size_t i = 0; i < idx.size(); ++i) {
+          const int32_t ri = idx[i];
+          if (side[i] == 2) {  // straddler: left keeps clip, right a copy
+            SahRef& r = refs[size_t(ri)];
             SahRef nr_ = r;
             nr_.lo[ax] = std::max(nr_.lo[ax], px);
             r.hi[ax] = px;
             li.push_back(ri);
             ri_.push_back(int32_t(refs.size()));
             refs.push_back(nr_);
-          } else if (gl) {
+          } else if (side[i] == 0) {
             li.push_back(ri);
           } else {
             ri_.push_back(ri);

@@ -470,14 +470,9 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
                 (np.minimum(np.minimum(a0[l], a1[l]), a2[l]).min(0)
                  + np.maximum(np.maximum(a0[l], a1[l]), a2[l]).max(0))
                 * 0.5 for l in leaves])
-        lo_s, hi_s = cen.min(axis=0), cen.max(axis=0)
-        q = ((cen - lo_s) / np.maximum(hi_s - lo_s, 1e-20)
-             * 1023.0).astype(np.uint64)
-        code = np.zeros(len(leaves), np.uint64)
-        for b in range(10):
-            for ax in range(3):
-                code |= (((q[:, ax] >> np.uint64(b)) & np.uint64(1))
-                         << np.uint64(3 * b + ax))
+        from pathtracer.accel import morton as morton_mod
+
+        code = np.asarray(morton_mod.morton_codes(jnp.asarray(cen)))
         lorder = np.argsort(code, kind="stable")
         leaves = [leaves[i] for i in lorder]
         if box_override is not None:

@@ -46,42 +46,47 @@ def _load():
                 subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                                capture_output=True, timeout=120)
             lib = ctypes.CDLL(_SO)
+            _bind(lib)
         except Exception:
+            # includes AttributeError from a stale prebuilt .so missing a
+            # newer export - the Python fallbacks must keep working
             return None
-
-        u8p = ctypes.POINTER(ctypes.c_uint8)
-        i32p = ctypes.POINTER(ctypes.c_int32)
-        i64p = ctypes.POINTER(ctypes.c_int64)
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.pt_png_probe.argtypes = [u8p, ctypes.c_int64, i32p, i32p, i32p]
-        lib.pt_png_probe.restype = ctypes.c_int
-        lib.pt_png_decode.argtypes = [u8p, ctypes.c_int64, u8p]
-        lib.pt_png_decode.restype = ctypes.c_int
-        lib.pt_png_encode_bound.argtypes = [ctypes.c_int32, ctypes.c_int32,
-                                            ctypes.c_int32]
-        lib.pt_png_encode_bound.restype = ctypes.c_int64
-        lib.pt_png_encode.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
-                                      ctypes.c_int32, u8p, i64p]
-        lib.pt_png_encode.restype = ctypes.c_int
-        lib.pt_accessor_to_f32.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            f32p]
-        lib.pt_accessor_to_f32.restype = ctypes.c_int
-        lib.pt_accessor_to_i32.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, i32p]
-        lib.pt_accessor_to_i32.restype = ctypes.c_int
-        lib.pt_hdr_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
-                                      ctypes.c_int32, f32p]
-        lib.pt_hdr_decode.restype = ctypes.c_int
-        lib.pt_sah_split_build.argtypes = [
-            f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_float, i32p, i32p, i32p, f32p, f32p,
-            ctypes.c_int32, ctypes.c_int64]
-        lib.pt_sah_split_build.restype = ctypes.c_int
         _lib = lib
         return _lib
+
+
+def _bind(lib):
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.pt_png_probe.argtypes = [u8p, ctypes.c_int64, i32p, i32p, i32p]
+    lib.pt_png_probe.restype = ctypes.c_int
+    lib.pt_png_decode.argtypes = [u8p, ctypes.c_int64, u8p]
+    lib.pt_png_decode.restype = ctypes.c_int
+    lib.pt_png_encode_bound.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                        ctypes.c_int32]
+    lib.pt_png_encode_bound.restype = ctypes.c_int64
+    lib.pt_png_encode.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32, u8p, i64p]
+    lib.pt_png_encode.restype = ctypes.c_int
+    lib.pt_accessor_to_f32.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        f32p]
+    lib.pt_accessor_to_f32.restype = ctypes.c_int
+    lib.pt_accessor_to_i32.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.pt_accessor_to_i32.restype = ctypes.c_int
+    lib.pt_hdr_decode.argtypes = [u8p, ctypes.c_int64, ctypes.c_int32,
+                                  ctypes.c_int32, f32p]
+    lib.pt_hdr_decode.restype = ctypes.c_int
+    lib.pt_sah_split_build.argtypes = [
+        f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_float, i32p, i32p, i32p, f32p, f32p,
+        ctypes.c_int32, ctypes.c_int64]
+    lib.pt_sah_split_build.restype = ctypes.c_int
 
 
 def available() -> bool:
