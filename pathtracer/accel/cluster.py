@@ -470,8 +470,6 @@ def build_clusters(v0, v1, v2, max_clusters: int = 512,
                 (np.minimum(np.minimum(a0[l], a1[l]), a2[l]).min(0)
                  + np.maximum(np.maximum(a0[l], a1[l]), a2[l]).max(0))
                 * 0.5 for l in leaves])
-        from pathtracer.accel import morton as morton_mod
-
         code = np.asarray(morton_mod.morton_codes(jnp.asarray(cen)))
         lorder = np.argsort(code, kind="stable")
         leaves = [leaves[i] for i in lorder]
