@@ -212,3 +212,34 @@ def test_sah_split_native_accel_exact(monkeypatch):
         np.testing.assert_allclose(np.asarray(hit.t)[m],
                                    np.asarray(ref.t)[m], rtol=1e-5,
                                    err_msg=f"native={env}")
+
+
+def test_sah_split_build_bad_args_fall_back():
+    """rc != 0 paths return None so callers engage the Python oracle."""
+    v0, v1, v2 = _room_scene(n_clutter=40, seed=2)
+    # dup_budget < 1.0 is invalid (rc=2) -> None
+    assert native.sah_split_build(v0, v1, v2, 16, dup_budget=0.5) is None
+    # k <= 0 is invalid
+    assert native.sah_split_build(v0, v1, v2, 0) is None
+
+
+def test_sah_split_build_degenerate_geometry():
+    """Identical / zero-area triangles terminate and stay covered."""
+    t = 70
+    a = np.zeros((t, 3), np.float32)         # all tris collapse to origin
+    res = native.sah_split_build(a, a, a, 16)
+    assert res is not None
+    leaves, lo, hi = res
+    np.testing.assert_array_equal(np.unique(np.concatenate(leaves)),
+                                  np.arange(t))
+    assert all(1 <= l.shape[0] <= 16 for l in leaves)
+    # coplanar fan sharing one vertex (degenerate on one axis)
+    ang = np.linspace(0, 2 * np.pi, t, endpoint=False)
+    v1 = np.stack([np.cos(ang), np.zeros(t), np.sin(ang)], 1) \
+        .astype(np.float32)
+    v2 = np.roll(v1, 1, axis=0)
+    res = native.sah_split_build(np.zeros((t, 3), np.float32), v1, v2, 8)
+    assert res is not None
+    leaves, lo, hi = res
+    np.testing.assert_array_equal(np.unique(np.concatenate(leaves)),
+                                  np.arange(t))
