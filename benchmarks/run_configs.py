@@ -94,6 +94,11 @@ def main(argv=None):
     ap.add_argument("--configs", default="1,2,3,4,5")
     args = ap.parse_args(argv)
 
+    if os.environ.get("PT_PLATFORM"):     # off-chip smoke runs (app.py:37)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["PT_PLATFORM"])
+
     from pathtracer.accel.cluster import build_scene_clusters
     from pathtracer.bench.harness import bench_scene
 
