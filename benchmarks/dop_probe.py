@@ -151,7 +151,7 @@ def occl_cols(accel, dop, o, d, t_max, use_dop):
     @jax.jit
     def stats(o, d, tm):
         order, _ = packet._coherence_order(
-            accel, o, d, 2, scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
+            accel, o, d, 2, scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
         o_s, d_s, t_s = o[order], d[order], tm[order]
         tt = tile_cull_dop(accel, dop[0], dop[1], o_s, d_s, 0.0, t_s,
                            n_tiles, tile_rays, use_dop)

@@ -172,7 +172,9 @@ def main():
 
     # production tile assembly: global coherence sort, occl keys
     oj, dj, tj = map(jnp.asarray, (o, d, t_max))
-    order, _ = packet._coherence_order(accel, oj, dj, 2)
+    order, _ = packet._coherence_order(
+        accel, oj, dj, 2,
+        scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
     o_s, d_s, t_s = (np.asarray(x[order]) for x in (oj, dj, tj))
 
     tile_rays = packet.TILE_RAYS

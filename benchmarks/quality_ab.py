@@ -84,7 +84,7 @@ def occl_stats(accel, o, d, t_max, label):
     @jax.jit
     def stats(o, d, tm):
         order, _ = packet._coherence_order(
-            accel, o, d, 2, scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
+            accel, o, d, 2, scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
         o_s, d_s, t_s = o[order], d[order], tm[order]
         tile_tnear = packet._tile_cull(accel, o_s, d_s, 0.0, t_s,
                                        n_tiles, tile_rays)

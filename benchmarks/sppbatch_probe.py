@@ -169,7 +169,7 @@ def main():
         def stats(o, d, tm):
             order, _ = pk._coherence_order(
                 accel, o, d, 2,
-                scheme=os.environ.get("PT_KEY_SCHEME_OCCL"))
+                scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
             o_s, d_s, t_s = o[order], d[order], tm[order]
             tt = pk._tile_cull(accel, o_s, d_s, 0.0, t_s, n_tiles,
                                tile_rays)

@@ -142,6 +142,55 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _box_area(lo, hi):
+    """Summed-face AABB surface-area proxy (numpy, broadcasting)."""
+    import numpy as np
+
+    e = np.maximum(hi - lo, 0.0)
+    return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] \
+        + e[..., 0] * e[..., 2]
+
+
+def _binned_object_best(cen, lo_rows, hi_rows, n_bins):
+    """Best binned-SAH object split over the 3 axes (shared by the leaf
+    builders; the C++ port in native/pathtracer_native.cpp mirrors this
+    exact cost model - keep them in sync).
+
+    cen/lo_rows/hi_rows: f32[n, 3] row centroids and row AABBs.
+    Returns (cost, mask_left) or None (degenerate centroid box).
+    """
+    import numpy as np
+
+    n = cen.shape[0]
+    clo, chi = cen.min(axis=0), cen.max(axis=0)
+    ext = chi - clo
+    best = None
+    for ax in range(3):
+        if ext[ax] <= 0:
+            continue
+        b = np.minimum(((cen[:, ax] - clo[ax])
+                        * (n_bins / ext[ax])).astype(np.int32),
+                       n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        blo = np.full((n_bins, 3), np.inf, np.float32)
+        bhi = np.full((n_bins, 3), -np.inf, np.float32)
+        np.minimum.at(blo, b, lo_rows)
+        np.maximum.at(bhi, b, hi_rows)
+        plo = np.minimum.accumulate(blo, axis=0)
+        phi = np.maximum.accumulate(bhi, axis=0)
+        slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
+        shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
+        nl = np.cumsum(cnt)[:-1]
+        nr = n - nl
+        cost = (_box_area(plo[:-1], phi[:-1]) * nl
+                + _box_area(slo[1:], shi[1:]) * nr)
+        cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+        j = int(np.argmin(cost))
+        if np.isfinite(cost[j]) and (best is None or cost[j] < best[0]):
+            best = (float(cost[j]), b <= j)
+    return best
+
+
 def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16,
                 deep_ratio: float = None):
     """Binned-SAH top-down leaf partition (host-side numpy build).
@@ -171,11 +220,6 @@ def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16,
     tlo = np.minimum(np.minimum(v0, v1), v2)
     thi = np.maximum(np.maximum(v0, v1), v2)
 
-    def area(lo, hi):
-        e = np.maximum(hi - lo, 0.0)
-        return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] \
-            + e[..., 0] * e[..., 2]
-
     leaves = []
     stack = [np.arange(v0.shape[0], dtype=np.int32)]
     while stack:
@@ -185,35 +229,8 @@ def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16,
         if small and (deep_ratio is None or n < 32):
             leaves.append(idx)
             continue
-        c = cent[idx]
-        clo, chi = c.min(axis=0), c.max(axis=0)
-        ext = chi - clo
-        best = None  # (cost, axis, bin_edge)
-        for ax in range(3):
-            if ext[ax] <= 0:
-                continue
-            b = np.minimum(
-                ((c[:, ax] - clo[ax]) * (n_bins / ext[ax])).astype(np.int32),
-                n_bins - 1)
-            cnt = np.bincount(b, minlength=n_bins)
-            # per-bin AABBs over TRIANGLE bounds (not centroids)
-            blo = np.full((n_bins, 3), np.inf, np.float32)
-            bhi = np.full((n_bins, 3), -np.inf, np.float32)
-            np.minimum.at(blo, b, tlo[idx])
-            np.maximum.at(bhi, b, thi[idx])
-            # prefix/suffix sweep
-            plo = np.minimum.accumulate(blo, axis=0)
-            phi = np.maximum.accumulate(bhi, axis=0)
-            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
-            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
-            nl = np.cumsum(cnt)[:-1]
-            nr = n - nl
-            cost = (area(plo[:-1], phi[:-1]) * nl
-                    + area(slo[1:], shi[1:]) * nr)
-            cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
-            j = int(np.argmin(cost))
-            if np.isfinite(cost[j]) and (best is None or cost[j] < best[0]):
-                best = (float(cost[j]), ax, j, b)
+        # per-bin AABBs over TRIANGLE bounds (not centroids)
+        best = _binned_object_best(cent[idx], tlo[idx], thi[idx], n_bins)
         if best is None:
             if small:
                 leaves.append(idx)
@@ -222,14 +239,13 @@ def _sah_leaves(v0, v1, v2, k: int, n_bins: int = 16,
             stack.append(idx[: n // 2])
             stack.append(idx[n // 2:])
             continue
-        _, ax, j, b = best
-        left = b <= j
+        _, left = best
         if small:
             # sub-k split: only where it shrinks summed leaf area
             li, ri = idx[left], idx[~left]
-            pa = area(tlo[idx].min(axis=0), thi[idx].max(axis=0))
-            la = area(tlo[li].min(axis=0), thi[li].max(axis=0))
-            ra = area(tlo[ri].min(axis=0), thi[ri].max(axis=0))
+            pa = _box_area(tlo[idx].min(axis=0), thi[idx].max(axis=0))
+            la = _box_area(tlo[li].min(axis=0), thi[li].max(axis=0))
+            ra = _box_area(tlo[ri].min(axis=0), thi[ri].max(axis=0))
             if la + ra >= deep_ratio * pa:
                 leaves.append(idx)
                 continue
@@ -266,10 +282,7 @@ def _sah_split_leaves(v0, v1, v2, k: int, n_bins: int = 16,
     tlo = np.minimum(np.minimum(v0, v1), v2)
     thi = np.maximum(np.maximum(v0, v1), v2)
 
-    def area(lo, hi):
-        e = np.maximum(hi - lo, 0.0)
-        return e[..., 0] * e[..., 1] + e[..., 1] * e[..., 2] \
-            + e[..., 0] * e[..., 2]
+    area = _box_area
 
     # refs: (tri id, clipped AABB); start with one ref per triangle
     ref_tri = np.arange(t, dtype=np.int32)
@@ -288,35 +301,10 @@ def _sah_split_leaves(v0, v1, v2, k: int, n_bins: int = 16,
             continue
         rlo, rhi = ref_lo[idx], ref_hi[idx]
         cen = (rlo + rhi) * 0.5
-        clo, chi = cen.min(axis=0), cen.max(axis=0)
         nlo, nhi = rlo.min(axis=0), rhi.max(axis=0)
-        ext = chi - clo
 
         # --- object split (centroid bins, SAH over ref boxes) ---
-        obj = None  # (cost, mask_left)
-        for ax in range(3):
-            if ext[ax] <= 0:
-                continue
-            b = np.minimum(((cen[:, ax] - clo[ax])
-                            * (n_bins / ext[ax])).astype(np.int32),
-                           n_bins - 1)
-            cnt = np.bincount(b, minlength=n_bins)
-            blo = np.full((n_bins, 3), np.inf, np.float32)
-            bhi = np.full((n_bins, 3), -np.inf, np.float32)
-            np.minimum.at(blo, b, rlo)
-            np.maximum.at(bhi, b, rhi)
-            plo = np.minimum.accumulate(blo, axis=0)
-            phi = np.maximum.accumulate(bhi, axis=0)
-            slo = np.minimum.accumulate(blo[::-1], axis=0)[::-1]
-            shi = np.maximum.accumulate(bhi[::-1], axis=0)[::-1]
-            nl = np.cumsum(cnt)[:-1]
-            nr = n - nl
-            cost = (area(plo[:-1], phi[:-1]) * nl
-                    + area(slo[1:], shi[1:]) * nr)
-            cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
-            j = int(np.argmin(cost))
-            if np.isfinite(cost[j]) and (obj is None or cost[j] < obj[0]):
-                obj = (float(cost[j]), b <= j)
+        obj = _binned_object_best(cen, rlo, rhi, n_bins)
 
         # --- spatial split (uniform planes over the NODE box) ---
         spa = None  # (cost, plane_x, axis)

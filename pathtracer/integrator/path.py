@@ -734,19 +734,26 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             # Primary-hit G-buffer for the denoiser: geometric features
             # at the first hit, scattered to pixel order. Sky pixels:
             # depth = inf, normal = 0, albedo = 1 (neutral demodulation).
+            # ONE row scatter: with spp-batched lanes (uniq False) each
+            # pixel has spp duplicate writers and XLA leaves the winner
+            # unspecified PER SCATTER - three separate scatters could mix
+            # normal/depth/albedo from different samples (a finite-depth
+            # pixel with a zeroed normal blacks out under the a-trous
+            # weights). A whole-row update keeps one sample's features.
             pdepth = jnp.where(active,
                                vmath.dot(surf.position - o, d), jnp.inf)
-            gbuf_state["normal"] = jnp.zeros(
-                (n_pixels, 3), jnp.float32).at[pix].set(
-                    jnp.where(active[..., None], surf.normal, 0.0),
-                    unique_indices=uniq)
-            gbuf_state["depth"] = jnp.full(
-                (n_pixels,), jnp.inf, jnp.float32).at[pix].set(
-                    pdepth, unique_indices=uniq)
-            gbuf_state["albedo"] = jnp.ones(
-                (n_pixels, 3), jnp.float32).at[pix].set(
-                    jnp.where(active[..., None], surf.albedo, 1.0),
-                    unique_indices=uniq)
+            grow = jnp.concatenate(
+                [jnp.where(active[..., None], surf.normal, 0.0),
+                 pdepth[..., None],
+                 jnp.where(active[..., None], surf.albedo, 1.0)], axis=1)
+            ginit = jnp.concatenate(
+                [jnp.zeros((n_pixels, 3), jnp.float32),
+                 jnp.full((n_pixels, 1), jnp.inf, jnp.float32),
+                 jnp.ones((n_pixels, 3), jnp.float32)], axis=1)
+            g = ginit.at[pix].set(grow, unique_indices=uniq)
+            gbuf_state["normal"] = g[:, 0:3]
+            gbuf_state["depth"] = g[:, 3]
+            gbuf_state["albedo"] = g[:, 4:7]
 
         # --- alpha stochastic transparency (raygen.rgen:143-146) ---
         u_alpha = rng.uniform1(pix, samp, depth, rng.SALT_ALPHA,

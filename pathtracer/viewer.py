@@ -85,13 +85,32 @@ def _read_keys(timeout: float):
             return keys
         ch = sys.stdin.read(1)
         if ch == "\x1b":
+            # Parse a full CSI/SS3 sequence: read byte-at-a-time (never
+            # blocking past what's buffered) until the final byte
+            # (0x40-0x7e), so modified arrows / Home / F-keys are
+            # consumed whole instead of leaking their tail bytes as
+            # WASD commands. A bare ESC (nothing buffered) quits.
             r, _, _ = select.select([sys.stdin], [], [], 0.01)
             if not r:
                 keys.append("esc")
                 continue
-            seq = sys.stdin.read(2)
-            keys.append({"[A": "up", "[B": "down",
-                         "[C": "right", "[D": "left"}.get(seq, ""))
+            lead = sys.stdin.read(1)
+            if lead not in ("[", "O"):
+                keys.append("esc")       # ESC + ordinary key: treat as ESC
+                continue
+            seq = ""
+            while True:
+                r, _, _ = select.select([sys.stdin], [], [], 0.01)
+                if not r:
+                    break
+                b = sys.stdin.read(1)
+                seq += b
+                if "\x40" <= b <= "\x7e":   # CSI final byte
+                    break
+            fin = seq[-1:] if seq else ""
+            # unmodified or modified arrows both end in A/B/C/D
+            keys.append({"A": "up", "B": "down",
+                         "C": "right", "D": "left"}.get(fin, ""))
         else:
             keys.append(ch.lower())
         timeout = 0.0   # drain without further blocking
