@@ -300,3 +300,13 @@ def test_spp_batched_frame_matches_loop():
     assert gb["depth"].shape == (16 * 16,)
     np.testing.assert_allclose(np.asarray(gb["m1"]), np.asarray(gl["m1"]),
                                rtol=1e-4, atol=1e-5)
+    # joint winner consistency: with spp duplicate writers per pixel the
+    # scatter winner is unspecified PER OP, so normal/depth/albedo must
+    # come from ONE sample (single row scatter). The failure mode is a
+    # finite-depth pixel with a zeroed normal (it blacks out under the
+    # a-trous weights) or an inf-depth pixel with a nonzero normal.
+    nrm = np.asarray(gb["normal"])
+    dep = np.asarray(gb["depth"])
+    hit_px = np.isfinite(dep)
+    assert (np.linalg.norm(nrm[hit_px], axis=1) > 0.9).all()
+    assert (np.linalg.norm(nrm[~hit_px], axis=1) < 1e-6).all()
