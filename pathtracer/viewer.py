@@ -77,33 +77,50 @@ _KEY_HELP = ("WASD+QE move | arrows/IJKL look | +/- speed | "
 
 
 def _read_keys(timeout: float):
-    """Drain pending stdin bytes (raw mode); decode arrow escapes."""
+    """Drain pending stdin bytes (raw mode); decode arrow escapes.
+
+    Reads via unbuffered os.read on the fd that select() watches -
+    sys.stdin's buffered layer slurps whole escape sequences into
+    userspace, after which select() reports the fd empty and the
+    sequence tail would be stranded (or, at pipe EOF, spin forever).
+    """
+    import os
+
     keys = []
+    fd = sys.stdin.fileno()
+
+    def readable(t):
+        r, _, _ = select.select([fd], [], [], t)
+        return bool(r)
+
+    def read1():
+        return os.read(fd, 1).decode("ascii", errors="ignore")
+
     while True:
-        r, _, _ = select.select([sys.stdin], [], [], timeout)
-        if not r:
+        if not readable(timeout):
             return keys
-        ch = sys.stdin.read(1)
+        ch = read1()
+        if ch == "":                     # EOF (scripted/piped stdin)
+            return keys
         if ch == "\x1b":
-            # Parse a full CSI/SS3 sequence: read byte-at-a-time (never
-            # blocking past what's buffered) until the final byte
-            # (0x40-0x7e), so modified arrows / Home / F-keys are
-            # consumed whole instead of leaking their tail bytes as
-            # WASD commands. A bare ESC (nothing buffered) quits.
-            r, _, _ = select.select([sys.stdin], [], [], 0.01)
-            if not r:
+            # Parse a full CSI/SS3 sequence up to its final byte
+            # (0x40-0x7e) so modified arrows / Home / F-keys are
+            # consumed whole instead of leaking tail bytes as WASD
+            # commands. A bare ESC (nothing pending) quits.
+            if not readable(0.01):
                 keys.append("esc")
+                timeout = 0.0
                 continue
-            lead = sys.stdin.read(1)
+            lead = read1()
             if lead not in ("[", "O"):
                 keys.append("esc")       # ESC + ordinary key: treat as ESC
+                timeout = 0.0
                 continue
             seq = ""
-            while True:
-                r, _, _ = select.select([sys.stdin], [], [], 0.01)
-                if not r:
+            while readable(0.01):
+                b = read1()
+                if b == "":
                     break
-                b = sys.stdin.read(1)
                 seq += b
                 if "\x40" <= b <= "\x7e":   # CSI final byte
                     break

@@ -112,3 +112,33 @@ def test_viewer_ansi_formatter():
     assert "\x1b[38;2;255;0;0m" in lines[0]       # red fg in the top row
     assert "\x1b[48;2;0;255;0m" in lines[-1]      # green bg in the bottom
     assert lines[0].count("▀") == 24
+
+
+def test_viewer_escape_parsing(monkeypatch):
+    """CSI sequences are consumed whole; tail bytes never leak as keys."""
+    import os
+    import sys
+
+    from pathtracer import viewer
+
+    def feed(data):
+        r, w = os.pipe()
+        os.write(w, data)
+        os.close(w)
+        f = os.fdopen(r)
+        monkeypatch.setattr(sys, "stdin", f)
+        try:
+            return viewer._read_keys(0.05)
+        finally:
+            f.close()
+
+    assert feed(b"\x1b[A") == ["up"]
+    # modified arrow (Shift+Up): the whole "\x1b[1;2A" must be eaten -
+    # the regression leaked ';2A' as literal keys ('a' strafed the
+    # camera)
+    assert feed(b"\x1b[1;2A") == ["up"]
+    assert feed(b"\x1b[1;2Aw") == ["up", "w"]
+    # F5 = CSI 15~ (final byte '~'): consumed, mapped to no-op
+    assert feed(b"\x1b[15~w") == ["", "w"]
+    assert feed(b"\x1b") == ["esc"]
+    assert feed(b"wasd") == ["w", "a", "s", "d"]
