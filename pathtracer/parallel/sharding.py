@@ -82,19 +82,41 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
         s_rank = jax.lax.axis_index("sample").astype(jnp.uint32)
         m = pixel_ids_local.shape[0]
         radiance = jnp.zeros((m, 3), jnp.float32)
-        for s in range(local_spp):
-            gs = frame_idx * cfg.spp + s_rank * local_spp + jnp.uint32(s)
-            sample_ids = jnp.full((m,), gs, jnp.uint32)
+        if cfg.spp_batch and local_spp > 1:
+            # spp-batched shard wavefront (cfg.spp_batch, PERF.md 0.27):
+            # the shard's local_spp samples trace as ONE wavefront so
+            # the coherence sort pools them - the same x1.49 bounce
+            # column win as single-chip render_frame_batched, per shard.
+            # RNG keys are (pixel, global sample) either way, so the
+            # estimate matches the loop up to float summation order.
+            pix_b = jnp.tile(pixel_ids_local, local_spp)
+            sample_ids = (frame_idx * cfg.spp + s_rank * local_spp
+                          + jnp.repeat(
+                              jnp.arange(local_spp, dtype=jnp.uint32), m))
             o, d = cam_mod.generate_primary_rays(
-                cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids, cfg.seed,
+                cam, w, h, cfg.fov_deg, pix_b, sample_ids, cfg.seed,
                 cfg.sampler)
             r, pix_out, _, _, _ = path_mod.trace_paths(
-                scene, cfg, o, d, pixel_ids_local, sample_ids,
+                scene, cfg, o, d, pix_b, sample_ids,
                 intersect_fn, occluded_fn)
-            # lanes return in wavefront order; scatter-add by the riding
-            # pixel ids (shard-local: the tile slice is contiguous)
             local = pix_out - pixel_ids_local[0]
-            radiance = radiance.at[local].add(r, unique_indices=True)
+            radiance = radiance.at[local].add(r)   # spp duplicates: ADD
+        else:
+            for s in range(local_spp):
+                gs = (frame_idx * cfg.spp + s_rank * local_spp
+                      + jnp.uint32(s))
+                sample_ids = jnp.full((m,), gs, jnp.uint32)
+                o, d = cam_mod.generate_primary_rays(
+                    cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids,
+                    cfg.seed, cfg.sampler)
+                r, pix_out, _, _, _ = path_mod.trace_paths(
+                    scene, cfg, o, d, pixel_ids_local, sample_ids,
+                    intersect_fn, occluded_fn)
+                # lanes return in wavefront order; scatter-add by the
+                # riding pixel ids (shard-local: the tile slice is
+                # contiguous)
+                local = pix_out - pixel_ids_local[0]
+                radiance = radiance.at[local].add(r, unique_indices=True)
         # the one collective: reduce the sample shards over ICI.
         radiance = jax.lax.psum(radiance, "sample") / cfg.spp
         return radiance

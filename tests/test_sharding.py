@@ -71,3 +71,20 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     out = np.asarray(jax.block_until_ready(out))
     assert np.isfinite(out).all()
+
+
+def test_sharded_spp_batch_matches_loop(setup):
+    """cfg.spp_batch on the mesh: one wavefront per shard, same estimate."""
+    import dataclasses
+
+    scene, cam, cfg = setup
+    cfg4 = dataclasses.replace(cfg, spp=4)
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)  # local_spp=2
+    loop = np.asarray(render_frame_sharded(scene, cfg4, cam.state(), 0,
+                                           mesh))
+    batched = np.asarray(render_frame_sharded(
+        scene, dataclasses.replace(cfg4, spp_batch=True), cam.state(), 0,
+        mesh))
+    np.testing.assert_allclose(batched, loop, rtol=1e-4, atol=1e-5)
+    single = np.asarray(render_frame(scene, cfg4, cam.state(), 0))
+    np.testing.assert_allclose(batched, single, rtol=1e-4, atol=1e-5)
