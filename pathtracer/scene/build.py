@@ -107,12 +107,18 @@ class SceneBuilder:
         if tangents is None:
             tangents = np.tile(np.array([[1, 0, 0]], np.float32), (n, 1))
         else:
-            tangents = np.asarray(tangents, np.float32).reshape(-1, 3)
-        if tangents.shape[-1] == 4:  # glTF tangents carry a w sign; drop it
-            tangents = tangents[..., :3]
+            tangents = np.asarray(tangents, np.float32)
+            if tangents.ndim == 2 and tangents.shape[-1] == 4:
+                tangents = tangents[..., :3]  # glTF w sign; drop it
+            tangents = tangents.reshape(-1, 3)
 
         if transform is not None:
             m = np.asarray(transform, np.float32).reshape(4, 4)
+            if np.array_equal(m, np.eye(4, dtype=np.float32)):
+                m = None  # identity bake would only re-normalize (ulp churn)
+        else:
+            m = None
+        if m is not None:
             positions = positions @ m[:3, :3].T + m[:3, 3]
             nmat = np.linalg.inv(m[:3, :3]).T
             normals = _normalize_rows(normals @ nmat.T)
@@ -227,7 +233,11 @@ class SceneBuilder:
                         img = np.broadcast_to(
                             np.asarray(neutral, np.float32), (h, w, 4))
                     else:
-                        t = self.textures[tid]
+                        # quantize to the u8 grid BEFORE any resize so the
+                        # composite agrees exactly with the u8 stack path
+                        # (and with assets round-tripped through 8-bit PNG)
+                        t = np.clip(np.round(self.textures[tid] * 255.0),
+                                    0, 255).astype(np.float32) / 255.0
                         img = t if t.shape[:2] == (h, w)                             else _resize_bilinear(t, h, w)
                     q = np.clip(np.round(img * 255.0), 0,
                                 255).astype(np.uint32)

@@ -31,6 +31,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from pathtracer.scene.build import MaterialDesc, SceneBuilder
+from pathtracer.scene.types import MAT_DIELECTRIC
 
 _COMPONENT_DTYPE = {
     5120: np.int8, 5121: np.uint8, 5122: np.int16, 5123: np.uint16,
@@ -265,9 +266,18 @@ def load_gltf(path: str, builder: Optional[SceneBuilder] = None,
         desc.albedo_tex = get_texture(pbr.get("baseColorTexture"))
         desc.mr_tex = get_texture(pbr.get("metallicRoughnessTexture"))
         desc.normal_tex = get_texture(m.get("normalTexture"))
-        ext = m.get("extensions", {}).get("KHR_materials_ior")
+        exts = m.get("extensions", {})
+        ext = exts.get("KHR_materials_ior")
         if ext and "ior" in ext:                 # model_loader.cpp:225-228
             desc.ior = float(ext["ior"])
+        ext = exts.get("KHR_materials_emissive_strength")
+        if ext and "emissiveStrength" in ext:
+            # radiance > 1 rides the extension; emissiveFactor is its hue
+            s = float(ext["emissiveStrength"])
+            desc.emission = tuple(s * c for c in desc.emission)
+        ext = exts.get("KHR_materials_transmission")
+        if ext and float(ext.get("transmissionFactor", 0.0)) > 0.0:
+            desc.material_type = MAT_DIELECTRIC
         mat_cache[mi] = b.add_material(desc)
         return mat_cache[mi]
 
