@@ -66,26 +66,42 @@ def main():
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
 
-    result = bench_scene(scene, cfg, cam, warmup=4, frames=frames)
-
+    untex_ref = (textured
+                 and os.environ.get("BENCH_UNTEXTURED_REF", "1") != "0")
     detail = {
-        "ms_per_frame": round(result.ms_per_frame, 3),
-        "rays_per_frame": result.rays_per_frame,
         "tris": tris,
         "textured": textured,
         "resolution": [width, height],
         "spp": cfg.spp,
         "max_depth": cfg.max_depth,
     }
-    if textured and os.environ.get("BENCH_UNTEXTURED_REF", "1") != "0":
-        # companion number on the round-1 (untextured) workload so the
-        # textured-headline switch stays comparable across rounds
+    if untex_ref:
+        # companion number on the round-1 (untextured) workload, with the
+        # legs' windows INTERLEAVED so both sample the same tunnel weather
+        # (the r2 banked run had untextured slower than textured only
+        # because the legs ran back-to-back on a degrading link).
+        from pathtracer.bench.harness import bench_interleaved
+
         plain = sponza_like(target_tris=tris, textured=False).finalize()
         plain = build_scene_clusters(plain)
-        ref = bench_scene(plain, cfg, cam, warmup=3,
-                          frames=max(2, frames // 2))
+        both = bench_interleaved({"tex": scene, "untex": plain}, cfg, cam,
+                                 warmup=4, frames=frames)
+        result, ref = both["tex"], both["untex"]
         detail["untextured_mrays_per_sec"] = round(ref.mrays_per_sec, 3)
         detail["untextured_ms_per_frame"] = round(ref.ms_per_frame, 3)
+        # sanity: texture fetch adds work; untextured slower means the
+        # run is internally inconsistent (tunnel degradation) - flag it.
+        if ref.ms_per_frame > result.ms_per_frame * 1.05:
+            detail["anomaly"] = "untextured_slower_than_textured"
+            print("BENCH ANOMALY: untextured leg slower than textured "
+                  f"({ref.ms_per_frame:.0f} vs {result.ms_per_frame:.0f} "
+                  "ms/frame) - run is suspect", file=sys.stderr)
+    else:
+        result = bench_scene(scene, cfg, cam, warmup=4, frames=frames)
+    detail["ms_per_frame"] = round(result.ms_per_frame, 3)
+    detail["rays_per_frame"] = result.rays_per_frame
+    detail["window_ms"] = [round(w, 1) for w in result.window_ms]
+    detail["ms_std"] = round(result.ms_std, 1)
 
     baseline = 300.0  # Mrays/s/chip north-star (BASELINE.json)
     print(json.dumps({

@@ -191,6 +191,11 @@ def main(argv=None):
     ap.add_argument("--denoise", action="store_true",
                     help="edge-aware a-trous denoiser at display time "
                          "(film/denoise.py; the accumulation stays raw)")
+    ap.add_argument("--mesh", default=None, metavar="TILE,SAMPLE",
+                    help="render across a (tile, sample) device mesh via "
+                         "shard_map (parallel/sharding.py); e.g. '4,2' on "
+                         "8 devices. 'auto' factorizes all visible devices."
+                         " Priming/denoise are single-chip-only.")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -210,8 +215,20 @@ def main(argv=None):
                        traversal_backend=args.traversal_backend,
                        primary_priming=args.priming,
                        denoise=args.denoise)
+    mesh = None
+    if args.mesh:
+        from pathtracer.parallel.sharding import make_mesh
+
+        if args.denoise or args.priming:
+            raise SystemExit("--mesh is incompatible with --denoise/"
+                             "--priming (single-chip-only paths)")
+        if args.mesh == "auto":
+            mesh = make_mesh()
+        else:
+            tile, sample = (int(x) for x in args.mesh.split(","))
+            mesh = make_mesh(tile=tile, sample=sample)
     cam = default_camera(specs[0])
-    r = Renderer(scene, cfg, cam)
+    r = Renderer(scene, cfg, cam, mesh=mesh)
 
     if args.checkpoint and os.path.exists(args.checkpoint):
         r.film = fm.load_checkpoint(args.checkpoint)

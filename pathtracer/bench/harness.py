@@ -2,14 +2,23 @@
 
 The reference measures frame time but never prints it (SURVEY.md par.5
 "Tracing": glfwGetTime only feeds camera delta-time). This harness times
-jitted frames with block_until_ready and reports throughput from the
+jitted frames with per-frame host syncs and reports throughput from the
 integrator's exact ray counters.
+
+Hygiene (round 3): frames are timed individually and grouped into
+windows; the headline is the MEDIAN window (a degraded-tunnel stretch
+shows up as window spread instead of silently polluting one long mean),
+and `bench_interleaved` alternates windows between legs so two configs
+see the same tunnel weather (the r2 banked run had untextured slower
+than textured only because the legs ran sequentially on a sick link).
 """
 
 from __future__ import annotations
 
+import statistics
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+from typing import Dict, List
 
 import jax
 import numpy as np
@@ -22,13 +31,18 @@ from pathtracer.scene.types import Scene
 
 @dataclass
 class BenchResult:
-    mrays_per_sec: float
-    ms_per_frame: float
+    mrays_per_sec: float        # from the median window
+    ms_per_frame: float         # median window mean
     rays_per_frame: float
     frames: int
     width: int
     height: int
     spp: int
+    # window diagnostics (ms/frame per window + spread)
+    window_ms: List[float] = field(default_factory=list)
+    ms_min: float = 0.0
+    ms_max: float = 0.0
+    ms_std: float = 0.0
 
     def as_dict(self):
         return {
@@ -38,12 +52,54 @@ class BenchResult:
             "frames": self.frames,
             "resolution": [self.width, self.height],
             "spp": self.spp,
+            "window_ms": [round(w, 3) for w in self.window_ms],
+            "ms_min": round(self.ms_min, 3),
+            "ms_max": round(self.ms_max, 3),
+            "ms_std": round(self.ms_std, 3),
         }
 
 
+def _frame_times(scene, cfg, cam, start, frames, prime):
+    """Render `frames` frames, host-syncing each; per-frame (dt, rays)."""
+    times, rays_seen = [], []
+    for i in range(frames):
+        t0 = time.perf_counter()
+        img, rays, prime = render_frame_with_stats(
+            scene, cfg, cam, start + i, prime, True)
+        r = float(rays)            # blocks on the scalar; frame-granular
+        times.append(time.perf_counter() - t0)
+        rays_seen.append(r)
+    jax.block_until_ready(img)
+    return times, rays_seen, prime
+
+
+def _result(times, rays_seen, cfg, windows):
+    n = len(times)
+    windows = max(1, min(windows, n))
+    # split frame times into `windows` near-equal chunks
+    bounds = [round(k * n / windows) for k in range(windows + 1)]
+    win_ms = []
+    for a, b in zip(bounds, bounds[1:]):
+        if b > a:
+            win_ms.append(sum(times[a:b]) / (b - a) * 1e3)
+    med_ms = statistics.median(win_ms)
+    rays_pf = sum(rays_seen) / n
+    return BenchResult(
+        mrays_per_sec=rays_pf / med_ms / 1e3,
+        ms_per_frame=med_ms,
+        rays_per_frame=rays_pf,
+        frames=n,
+        width=cfg.width, height=cfg.height, spp=cfg.spp,
+        window_ms=win_ms,
+        ms_min=min(win_ms), ms_max=max(win_ms),
+        ms_std=statistics.pstdev(win_ms) if len(win_ms) > 1 else 0.0,
+    )
+
+
 def bench_scene(scene: Scene, cfg: RenderConfig, camera: Camera,
-                warmup: int = 4, frames: int = 8) -> BenchResult:
-    """Time progressive frames; returns throughput stats.
+                warmup: int = 4, frames: int = 8,
+                windows: int = 4) -> BenchResult:
+    """Time progressive frames; returns median-window throughput stats.
 
     Warmup frames trigger compilation AND flush first-run effects - on the
     axon tunnel the first executed frames after a compile run up to 30x
@@ -59,19 +115,44 @@ def bench_scene(scene: Scene, cfg: RenderConfig, camera: Camera,
         float(rays)                    # full sync: flush first-run effects
     jax.block_until_ready(img)
 
-    total_rays = 0.0
-    t0 = time.perf_counter()
-    for i in range(frames):
-        img, rays, prime = render_frame_with_stats(
-            scene, cfg, cam, warmup + i, prime, True)
-        total_rays += float(rays)  # blocks on the scalar; frame-granular
-    jax.block_until_ready(img)
-    dt = time.perf_counter() - t0
+    times, rays_seen, _ = _frame_times(scene, cfg, cam, warmup, frames,
+                                       prime)
+    return _result(times, rays_seen, cfg, windows)
 
-    return BenchResult(
-        mrays_per_sec=total_rays / dt / 1e6,
-        ms_per_frame=dt / frames * 1e3,
-        rays_per_frame=total_rays / frames,
-        frames=frames,
-        width=cfg.width, height=cfg.height, spp=cfg.spp,
-    )
+
+def bench_interleaved(scenes: Dict[str, Scene], cfg: RenderConfig,
+                      camera: Camera, warmup: int = 3, frames: int = 4,
+                      windows: int = 4) -> Dict[str, BenchResult]:
+    """Bench several scenes under ONE config with interleaved windows.
+
+    Each window renders `ceil(frames/windows)`-ish frames of every scene
+    in turn, so all legs sample the same tunnel conditions. Use this for
+    A/B legs that must be comparable (e.g. textured vs untextured): a
+    sequential pair can silently straddle a tunnel degradation.
+    """
+    cam = camera.state()
+    labels = list(scenes)
+    primes = {}
+    for lab in labels:                       # compile + flush each leg
+        prime = None
+        for i in range(warmup):
+            img, rays, prime = render_frame_with_stats(
+                scenes[lab], cfg, cam, i, prime, True)
+            float(rays)
+        jax.block_until_ready(img)
+        primes[lab] = prime
+
+    windows = max(1, min(windows, frames))
+    bounds = [round(k * frames / windows) for k in range(windows + 1)]
+    times = {lab: [] for lab in labels}
+    rays_seen = {lab: [] for lab in labels}
+    for a, b in zip(bounds, bounds[1:]):
+        if b <= a:
+            continue
+        for lab in labels:
+            t, r, primes[lab] = _frame_times(
+                scenes[lab], cfg, cam, warmup + a, b - a, primes[lab])
+            times[lab] += t
+            rays_seen[lab] += r
+    return {lab: _result(times[lab], rays_seen[lab], cfg, windows)
+            for lab in labels}

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from pathtracer.config import RenderConfig
 from pathtracer.integrator import camera as cam_mod
 from pathtracer.integrator import path as path_mod
-from pathtracer.render import make_intersectors
+from pathtracer.render import make_intersectors, _swizzled_pixel_ids
 from pathtracer.scene.types import Scene
 
 
@@ -74,13 +74,22 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                          f"{n_sample}")
     local_spp = cfg.spp // n_sample
 
-    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    # 8x8 pixel-block swizzle, same as the single-chip path (render.py):
+    # each shard's contiguous lane slice is then a run of compact screen
+    # blocks, not scanlines - x4.9 fewer primary columns (PERF.md 0.24).
+    # Lanes ride TRUE pixel ids (RNG streams stay layout-invariant); the
+    # inverse permutation maps returned pixel ids back to lane slots.
+    sw = _swizzled_pixel_ids(w, h)
+    pixel_ids = sw if sw is not None else jnp.arange(n_pix, dtype=jnp.int32)
+    inv_perm = jnp.zeros((n_pix,), jnp.int32).at[pixel_ids].set(
+        jnp.arange(n_pix, dtype=jnp.int32))
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
 
-    def shard_fn(scene, cam, frame_idx, pixel_ids_local):
+    def shard_fn(scene, cam, frame_idx, pixel_ids_local, inv_perm):
         intersect_fn, occluded_fn = make_intersectors(scene, cfg)
         s_rank = jax.lax.axis_index("sample").astype(jnp.uint32)
         m = pixel_ids_local.shape[0]
+        offset = jax.lax.axis_index("tile").astype(jnp.int32) * m
         radiance = jnp.zeros((m, 3), jnp.float32)
         if cfg.spp_batch and local_spp > 1:
             # spp-batched shard wavefront (cfg.spp_batch, PERF.md 0.27):
@@ -99,7 +108,7 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
             r, pix_out, _, _, _ = path_mod.trace_paths(
                 scene, cfg, o, d, pix_b, sample_ids,
                 intersect_fn, occluded_fn)
-            local = pix_out - pixel_ids_local[0]
+            local = inv_perm[pix_out] - offset
             radiance = radiance.at[local].add(r)   # spp duplicates: ADD
         else:
             for s in range(local_spp):
@@ -112,10 +121,10 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                 r, pix_out, _, _, _ = path_mod.trace_paths(
                     scene, cfg, o, d, pixel_ids_local, sample_ids,
                     intersect_fn, occluded_fn)
-                # lanes return in wavefront order; scatter-add by the
-                # riding pixel ids (shard-local: the tile slice is
-                # contiguous)
-                local = pix_out - pixel_ids_local[0]
+                # lanes return in wavefront order; scatter-add by lane
+                # slot (inverse swizzle maps pixel id -> global lane,
+                # minus this tile shard's lane offset)
+                local = inv_perm[pix_out] - offset
                 radiance = radiance.at[local].add(r, unique_indices=True)
         # the one collective: reduce the sample shards over ICI.
         radiance = jax.lax.psum(radiance, "sample") / cfg.spp
@@ -124,7 +133,11 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("tile")),
+        in_specs=(P(), P(), P(), P("tile"), P()),
         out_specs=P("tile"),
-    )(scene, cam, frame_idx, pixel_ids)
-    return sharded.reshape(h, w, 3)
+    )(scene, cam, frame_idx, pixel_ids, inv_perm)
+    # shards return lane-order radiance; one global scatter un-swizzles
+    # back to row-major (identity when no swizzle applied).
+    img = jnp.zeros((n_pix, 3), jnp.float32).at[pixel_ids].set(
+        sharded, unique_indices=True)
+    return img.reshape(h, w, 3)

@@ -387,7 +387,7 @@ class Renderer:
     """
 
     def __init__(self, scene: Scene, cfg: RenderConfig,
-                 camera: Optional[cam_mod.Camera] = None):
+                 camera: Optional[cam_mod.Camera] = None, mesh=None):
         if cfg.intersector == "bvh" and scene.bvh is None:
             from pathtracer.accel import lbvh
 
@@ -399,6 +399,11 @@ class Renderer:
         self.scene = scene
         self.cfg = cfg
         self.camera = camera or cam_mod.Camera()
+        # Optional jax.sharding.Mesh: frames render via shard_map over a
+        # (tile, sample) device mesh (parallel/sharding.py). Priming and
+        # the G-buffer/denoiser are single-chip-only for now; the sharded
+        # step skips them (accumulation itself stays exact).
+        self.mesh = mesh
         self.film = film_mod.new_film(cfg.width, cfg.height)
         # primary-hit prediction chained across frames (cfg.primary_priming)
         self._prime = None
@@ -423,6 +428,14 @@ class Renderer:
         if self.camera.moved:
             self.reset()
             self.camera.moved = False
+        if self.mesh is not None:
+            from pathtracer.parallel import sharding
+
+            radiance = sharding.render_frame_sharded(
+                self.scene, self.cfg, self.camera.state(),
+                self.film.frame.astype(jnp.uint32), self.mesh)
+            self.film = film_mod.accumulate(self.film, radiance)
+            return self.film
         want_gb = self.cfg.denoise and self.cfg.max_depth > 1
         out = render_frame_with_stats(
             self.scene, self.cfg, self.camera.state(),

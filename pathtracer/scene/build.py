@@ -59,6 +59,10 @@ class SceneBuilder:
         self._normals: List[np.ndarray] = []
         self._uvs: List[np.ndarray] = []
         self._tangents: List[np.ndarray] = []
+        # glTF tangent w (bitangent handedness, +-1) per vertex. The
+        # renderer's TBN assumes w=+1 (cross(n, t) bitangent); the sign is
+        # kept here so export_glb round-trips external assets faithfully.
+        self._tangent_w: List[np.ndarray] = []
         self._indices: List[np.ndarray] = []
         self._face_material: List[np.ndarray] = []
         self.materials: List[MaterialDesc] = []
@@ -104,12 +108,16 @@ class SceneBuilder:
             uvs = np.zeros((n, 2), np.float32)
         else:
             uvs = np.asarray(uvs, np.float32).reshape(-1, 2)
+        tan_w = np.ones((n,), np.float32)
         if tangents is None:
             tangents = np.tile(np.array([[1, 0, 0]], np.float32), (n, 1))
         else:
             tangents = np.asarray(tangents, np.float32)
             if tangents.ndim == 2 and tangents.shape[-1] == 4:
-                tangents = tangents[..., :3]  # glTF w sign; drop it
+                # keep the handedness sign for export round-trips; the
+                # renderer itself uses a w=+1 TBN (see _tangent_w above)
+                tan_w = tangents[..., 3].astype(np.float32).copy()
+                tangents = tangents[..., :3]
             tangents = tangents.reshape(-1, 3)
 
         if transform is not None:
@@ -128,6 +136,7 @@ class SceneBuilder:
         self._normals.append(normals)
         self._uvs.append(uvs)
         self._tangents.append(tangents)
+        self._tangent_w.append(tan_w)
         self._indices.append(indices + self._vertex_offset)
         self._face_material.append(
             np.full(len(indices), material, np.int64))

@@ -145,12 +145,18 @@ def export_glb(builder: SceneBuilder, path: str) -> None:
     offset = 0
     for i, pos in enumerate(builder._positions):
         n = len(pos)
+        if n == 0 or len(builder._indices[i]) == 0:
+            raise ValueError(
+                f"export_glb: mesh {i} has no "
+                f"{'vertices' if n == 0 else 'triangles'} - glTF requires "
+                "non-empty primitives (drop it before export)")
         pos = np.ascontiguousarray(pos, np.float32)
         nrm = np.ascontiguousarray(builder._normals[i], np.float32)
         uv = np.ascontiguousarray(builder._uvs[i], np.float32)
         tan3 = np.asarray(builder._tangents[i], np.float32)
-        tan = np.concatenate(  # spec requires VEC4 (w = handedness sign)
-            [tan3, np.ones((n, 1), np.float32)], axis=1)
+        tan = np.concatenate(  # spec requires VEC4 (w = handedness sign,
+            # preserved from load by SceneBuilder._tangent_w)
+            [tan3, builder._tangent_w[i].reshape(n, 1)], axis=1)
         # builder stores globally-offset indices; undo for per-mesh export
         idx = np.ascontiguousarray(
             (builder._indices[i] - offset).reshape(-1).astype(np.uint32))

@@ -276,7 +276,12 @@ def load_gltf(path: str, builder: Optional[SceneBuilder] = None,
             s = float(ext["emissiveStrength"])
             desc.emission = tuple(s * c for c in desc.emission)
         ext = exts.get("KHR_materials_transmission")
-        if ext and float(ext.get("transmissionFactor", 0.0)) > 0.0:
+        if ext and float(ext.get("transmissionFactor", 0.0)) >= 0.5:
+            # The renderer has no partial-transmission blend; promote to
+            # the dielectric BSDF only when the asset is mostly
+            # transmissive (export_glb writes factor=1.0). A small factor
+            # (e.g. 0.1 "slightly translucent") stays on the base PBR
+            # material - closer than rendering it as pure glass.
             desc.material_type = MAT_DIELECTRIC
         mat_cache[mi] = b.add_material(desc)
         return mat_cache[mi]

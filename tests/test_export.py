@@ -98,6 +98,69 @@ def test_extension_materials_roundtrip(tmp_path):
                                [12.0, 6.0, 3.0], rtol=1e-6)
 
 
+def test_tangent_handedness_roundtrip(tmp_path):
+    """A loaded asset with w=-1 tangents (mirrored UVs) re-exports with
+    the sign preserved (ADVICE r2: builder used to drop w at add_mesh)."""
+    b = SceneBuilder()
+    mat = b.add_material(MaterialDesc())
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    tri = np.array([[0, 1, 2]], np.int64)
+    tan4 = np.array([[1, 0, 0, -1], [1, 0, 0, -1], [0, 1, 0, 1]],
+                    np.float32)
+    b.add_mesh(v, tri, mat, tangents=tan4)
+    np.testing.assert_array_equal(b._tangent_w[0], [-1, -1, 1])
+
+    path = str(tmp_path / "w.glb")
+    export_glb(b, path)
+    back = load_gltf(path)
+    np.testing.assert_array_equal(back._tangent_w[0], [-1, -1, 1])
+    np.testing.assert_array_equal(np.asarray(back._tangents[0]),
+                                  tan4[:, :3])
+
+
+def test_partial_transmission_not_promoted(tmp_path):
+    """transmissionFactor < 0.5 must NOT turn the material into glass
+    (ADVICE r2: a 0.1-translucent asset rendered as pure dielectric)."""
+    import json
+    import struct
+
+    b = SceneBuilder()
+    mat = b.add_material(MaterialDesc(material_type=MAT_DIELECTRIC))
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    b.add_mesh(v, np.array([[0, 1, 2]], np.int64), mat)
+    path = str(tmp_path / "t.glb")
+    export_glb(b, path)
+    # patch the exporter's transmissionFactor 1.0 -> 0.1 in the JSON chunk
+    raw = bytearray(open(path, "rb").read())
+    jlen = struct.unpack_from("<I", raw, 12)[0]
+    js = json.loads(raw[20:20 + jlen])
+    ext = js["materials"][0]["extensions"]["KHR_materials_transmission"]
+    assert ext["transmissionFactor"] == 1.0
+    ext["transmissionFactor"] = 0.1
+    enc = json.dumps(js, separators=(",", ":")).encode()
+    enc += b" " * ((-len(enc)) % 4)
+    body = bytes(raw[20 + jlen:])
+    with open(path, "wb") as f:
+        f.write(struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(enc)
+                            + len(body)))
+        f.write(struct.pack("<II", len(enc), 0x4E4F534A) + enc)
+        f.write(body)
+    back = load_gltf(path).finalize()
+    assert _per_face(back, "mat_type").tolist() == [0]   # not dielectric
+
+
+def test_export_rejects_empty_mesh():
+    b = SceneBuilder()
+    mat = b.add_material(MaterialDesc())
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    n = np.tile(np.array([[0, 0, 1]], np.float32), (3, 1))
+    b.add_mesh(v, np.zeros((0, 3), np.int64), mat, normals=n)
+    import pytest
+
+    with pytest.raises(ValueError, match="no triangles"):
+        export_glb(b, "/tmp/unused.glb")
+
+
 def test_exported_asset_renders_identically(tmp_path):
     """Full pipeline: export -> disk -> load -> accel -> render matches a
     direct in-memory build of the same scene (the from-disk asset path

@@ -73,6 +73,20 @@ def test_entry_compiles():
     assert np.isfinite(out).all()
 
 
+def test_sharded_swizzle_fallback_resolution(setup):
+    """Resolutions not divisible by the 8x8 block still render correctly
+    sharded (the swizzle falls back to row-major lane order)."""
+    import dataclasses
+
+    scene, cam, cfg = setup
+    cfg12 = dataclasses.replace(cfg, width=12, height=12)
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)
+    sharded = np.asarray(render_frame_sharded(scene, cfg12, cam.state(), 0,
+                                              mesh))
+    single = np.asarray(render_frame(scene, cfg12, cam.state(), 0))
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_spp_batch_matches_loop(setup):
     """cfg.spp_batch on the mesh: one wavefront per shard, same estimate."""
     import dataclasses
