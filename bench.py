@@ -44,7 +44,30 @@ def main():
     from pathtracer.integrator.camera import Camera
     from pathtracer.scene.procedural import sponza_like
 
-    scene = sponza_like(target_tris=tris, textured=textured).finalize()
+    # BENCH_SCENE=path.glb|.gltf|.obj benches a FILE-loaded asset through
+    # the full loader + native-unpack + texture path (the reference's
+    # production input class, model_loader.cpp:253-289) instead of the
+    # in-memory procedural build. BENCH_SCENE=export roundtrips the
+    # procedural headline through export_glb -> load_gltf first.
+    scene_file = os.environ.get("BENCH_SCENE")
+    if scene_file == "export":
+        import tempfile
+
+        from pathtracer.scene.export import export_glb
+        from pathtracer.scene.gltf import load_gltf
+
+        path = os.path.join(tempfile.gettempdir(),
+                            f"bench_sponza_{tris}_{int(textured)}.glb")
+        if not os.path.exists(path):
+            export_glb(sponza_like(target_tris=tris, textured=textured),
+                       path)
+        scene = load_gltf(path).finalize()
+    elif scene_file:
+        from pathtracer.app import load_scene
+
+        scene = load_scene([scene_file]).finalize()
+    else:
+        scene = sponza_like(target_tris=tris, textured=textured).finalize()
     scene = build_scene_clusters(scene)
 
     # BENCH_PRIMING=1 enables verified primary-hit + blocker priming

@@ -87,11 +87,51 @@ def build_configs(scale: float):
     ]
 
 
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests", "goldens")
+PROBE_RES = 64          # fixed accuracy-probe resolution (every config)
+PROBE_SPP = 4
+RMSE_TOL = 5e-3         # same-seed cross-platform float drift budget
+
+
+def accuracy_probe(scene, cfg, camera, idx, write=False):
+    """Fixed 64x64 same-seed render vs the committed per-config golden.
+
+    The counter-based RNG makes the probe deterministic in (seed, frame,
+    pixel), so cross-platform differences are pure float arithmetic -
+    RMSE above RMSE_TOL means behavior drifted (VERDICT r2: configs 3-5
+    had perf gates but no correctness gate). Returns (rmse|None, ok).
+    """
+    import dataclasses
+
+    from pathtracer.render import render_frame
+
+    pcfg = dataclasses.replace(cfg, width=PROBE_RES, height=PROBE_RES,
+                               spp=PROBE_SPP)
+    img = np.asarray(render_frame(scene, pcfg, camera.state(), 0),
+                     np.float32)
+    path = os.path.join(GOLDEN_DIR, f"config_{idx}_{PROBE_RES}.npz")
+    if write:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, img=img)
+        return None, True
+    if not os.path.exists(path):
+        return None, False
+    g = np.load(path)["img"]
+    rmse = float(np.sqrt(np.mean((img - g) ** 2)))
+    return rmse, rmse <= RMSE_TOL
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--no-check", action="store_true",
+                    help="skip the 64x64 accuracy probe per config")
+    ap.add_argument("--write-goldens", action="store_true",
+                    help="(re)write tests/goldens/config_N_64.npz instead "
+                         "of checking")
     args = ap.parse_args(argv)
 
     if os.environ.get("PT_PLATFORM"):     # off-chip smoke runs (app.py:37)
@@ -108,8 +148,13 @@ def main(argv=None):
         if i not in wanted:
             continue
         scene = build_scene_clusters(scene_fn())
+        if args.write_goldens:
+            accuracy_probe(scene, cfg, camera, i, write=True)
+            print(json.dumps({"config": name, "golden": "written"}),
+                  flush=True)
+            continue
         res = bench_scene(scene, cfg, camera, warmup=3, frames=args.frames)
-        print(json.dumps({
+        out = {
             "config": name,
             "mrays_per_sec": round(res.mrays_per_sec, 3),
             "ms_per_frame": round(res.ms_per_frame, 3),
@@ -117,7 +162,13 @@ def main(argv=None):
             "tris": int(scene.n_tris),
             "resolution": [cfg.width, cfg.height],
             "spp": cfg.spp,
-        }), flush=True)
+        }
+        if not args.no_check:
+            rmse, ok = accuracy_probe(scene, cfg, camera, i)
+            out["rmse_vs_golden"] = (None if rmse is None
+                                     else round(rmse, 6))
+            out["accuracy_ok"] = ok
+        print(json.dumps(out), flush=True)
     return 0
 
 

@@ -8,6 +8,7 @@ derivation - the BASELINE "RMSE <= 1e-3 at equal spp" accuracy bar.
 """
 
 import numpy as np
+import pytest
 
 from pathtracer.config import RenderConfig
 from pathtracer.integrator.camera import Camera
@@ -53,3 +54,16 @@ def test_quirks_estimator_matches_oracle_materials_rr():
     cfg = RenderConfig(width=8, height=8, spp=2, max_depth=6,
                        reference_quirks=True, intersector="brute")
     _check(cfg, materials_suite=True, min_mean=0.05)
+
+
+@pytest.mark.slow
+def test_quirks_oracle_32px_16spp():
+    """VERDICT r2 item 7: the accuracy bar at 32x32 with 16 spp.
+
+    ~16k paths through the scalar numpy oracle (minutes) - marked slow;
+    run explicitly with `pytest -m slow tests/test_oracle.py`. Results
+    recorded in BASELINE.md's accuracy addendum.
+    """
+    cfg = RenderConfig(width=32, height=32, spp=16, max_depth=4,
+                       reference_quirks=True, intersector="brute")
+    _check(cfg, materials_suite=False, min_mean=0.1)
