@@ -81,11 +81,12 @@ def main():
                        sampler=os.environ.get("BENCH_SAMPLER", "pcg"),
                        primary_priming=os.environ.get(
                            "BENCH_PRIMING", "0") != "0",
-                       # one wavefront for all spp samples (x1.49 fewer
-                       # bounce columns/ray measured off-chip, PERF.md
-                       # 0.27); flip default after the on-chip A/B
+                       # one wavefront for all spp samples: chip-confirmed
+                       # winner 2026-08-19 (2.644 vs 2.595 Mrays/s looped,
+                       # PERF.md 0.31) on top of x1.49 fewer bounce
+                       # columns/ray off-chip (0.27) - default ON
                        spp_batch=os.environ.get(
-                           "BENCH_SPP_BATCH", "0") != "0")
+                           "BENCH_SPP_BATCH", "1") != "0")
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
 

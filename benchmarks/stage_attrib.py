@@ -131,9 +131,13 @@ def main():
         tile_tnear = packet._tile_cull(accel, o, d, 1e-3, tm, n_tiles,
                                        tile_rays)
         st, si = packet._sorted_schedule(tile_tnear, 1)
-        # consume st/si so the sort can't be DCE'd; cheap reduction
-        return jnp.sum(jnp.where(jnp.isfinite(st), st, 0.0), axis=1) + \
+        # consume st/si so the sort can't be DCE'd; cheap reduction,
+        # broadcast back to per-RAY shape (_chunk_map flattens outputs
+        # by ray count)
+        s = jnp.sum(jnp.where(jnp.isfinite(st), st, 0.0), axis=1) + \
             jnp.sum(si, axis=1).astype(jnp.float32)
+        return jnp.broadcast_to(s[:, None],
+                                (s.shape[0], tile_rays)).reshape(-1)
 
     @jax.jit
     def prep_only(o, d, tm):

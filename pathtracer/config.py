@@ -105,9 +105,12 @@ class RenderConfig:
     # Trace ALL spp samples of a frame as ONE wavefront (spp * W * H
     # lanes) instead of a host loop of per-sample programs. The coherence
     # sort's pool grows spp-fold: measured x1.49 fewer bounce sweep
-    # columns per ray at 4 spp (docs/PERF.md 0.27), the identical
-    # estimator (RNG is keyed on (pixel, sample) either way). Costs
-    # ~spp x the wavefront memory; chip-confirm before defaulting on.
+    # columns per ray at 4 spp (docs/PERF.md 0.27) and chip-confirmed
+    # +1.9% end-to-end at 1080p/4spp (0.31); identical estimator (RNG is
+    # keyed on (pixel, sample) either way). Library default stays False
+    # because wavefront memory scales linearly with spp (64 spp would be
+    # a 132M-lane wavefront at 1080p); bench.py and the headline configs
+    # enable it at spp <= 4.
     spp_batch: bool = False
 
     # Trace NEE shadow rays in REVERSE (from the sampled light point toward
