@@ -477,6 +477,13 @@ def _sorted_schedule(tile_tnear, cpi, descending=False):
         tile_tnear = jnp.concatenate(
             [tile_tnear, jnp.full((tiles, pad), jnp.inf, jnp.float32)],
             axis=1)
+    # measured NEUTRAL on chip (PERF.md 0.36: 3613 vs 3601 ms/sample) -
+    # the [tiles, C] sort is depth-bound, not operand-byte-bound; kept
+    # as an option, default off (the f32 path has no quantization
+    # semantics to reason about)
+    if (os.environ.get("PT_SCHED_PACK", "0") != "0"
+            and tile_tnear.shape[1] <= (1 << 12)):
+        return _packed_schedule_sort(tile_tnear, descending)
     if descending:
         tile_tnear = jnp.where(jnp.isfinite(tile_tnear), -tile_tnear,
                                jnp.inf)
@@ -486,6 +493,48 @@ def _sorted_schedule(tile_tnear, cpi, descending=False):
     st, si = jax.lax.sort((tile_tnear, ids), dimension=1, num_keys=1)
     # pad ids point past C; clamp to 0 (harmless re-test of cluster 0)
     si = jnp.where(jnp.isfinite(st), si, 0)
+    return st, si
+
+
+def _packed_schedule_sort(tile_tnear, descending=False):
+    """One-operand u32 schedule sort: (quantized entry << 12) | cid.
+
+    The (f32 key, i32 id) two-operand lax.sort moves twice the bytes
+    through the sort network; entry distances only steer VISIT ORDER
+    (a heuristic) and the closest kernel's early-out lower bound, so a
+    20-bit FLOOR quantization is safe: the dequantized lower bound
+    st_q <= true entry keeps the stop rule conservative (walks at most
+    one extra quantum), and order-only tie flips are between equal-t
+    duplicate references. Requires C' <= 4096 ids (caller checks).
+
+    Receives the NON-negated entries; descending=True sorts far-first
+    and returns negated finite st (the _sorted_schedule contract - only
+    finiteness is meaningful to the occlusion sweep in that mode).
+    """
+    tiles, c = tile_tnear.shape
+    fin = jnp.isfinite(tile_tnear)
+    mag = jnp.where(fin, tile_tnear, 0.0)
+    scale = jnp.maximum(jnp.max(mag), 1e-20)
+    maxq = (1 << 20) - 2
+    q = jnp.minimum((mag * (maxq / scale)).astype(jnp.uint32),
+                    jnp.uint32(maxq))
+    if descending:  # far entries first; pad/inf still sort to the top
+        q = jnp.uint32(maxq) - q
+    key = jnp.where(fin,
+                    (q << 12) | jnp.arange(c, dtype=jnp.uint32)[None, :],
+                    jnp.uint32(0xFFFFFFFF))
+    key = jax.lax.sort(key, dimension=1)
+    valid = key != jnp.uint32(0xFFFFFFFF)
+    qs = (key >> 12).astype(jnp.float32)
+    if descending:
+        qs = jnp.float32(maxq) - qs
+    # -1 quantum: f32 rounding in the quantize multiply may round a
+    # bucket UP; the closest stop rule needs st <= true entry strictly
+    qs = jnp.maximum(qs - 1.0, 0.0)
+    st = jnp.where(valid, qs * (scale / maxq), jnp.inf)
+    if descending:
+        st = jnp.where(valid, -st, st)
+    si = jnp.where(valid, (key & jnp.uint32(0xFFF)).astype(jnp.int32), 0)
     return st, si
 
 
