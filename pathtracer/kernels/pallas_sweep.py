@@ -324,10 +324,13 @@ def _cpi_mult(k: int, c: int) -> int:
     ms/sample (~1536 optimum); re-swept 2026-08-19 at the r3 defaults
     (sahsplit accel + dirmajor occl keys, docs/PERF.md 0.31) the optimum
     moved to cpi=8: 8:4531 / 12:4603 / 16:4725. Re-swept AGAIN after the
-    Pallas cull + sortnet landed (0.33 balance): same-run interleaved
-    legs give cpi=8 3603/3604 vs cpi=12 3567 ms/sample - with cheaper
-    prep the sweep is a larger share and amortization wins again, so
-    the target is back to 1536 tris/iteration. Small scenes cap at ~C/4
+    Pallas cull + sortnet landed (0.33 balance): the 1-spp wavefront
+    probe marginally favors cpi=12 (3567 vs 3603/3604 ms/sample) but the
+    full 4-spp-batched bench - the production shape, with bigger ray
+    pools and therefore shorter schedules where early-exit granularity
+    matters more - favors cpi=8 (textured 6.098 vs 6.065, untextured
+    6.765 vs 6.548 Mrays/s; interleaved windows, std 2-4 ms). Frame
+    scale wins: target stays 1024 tris/iteration. Small scenes cap at ~C/4
     clusters per body so the early exit keeps at least a few granules
     (a 21-cluster materials scene regressed 25% testing 12
     clusters/iteration). PT_SWEEP_CPI overrides.
@@ -337,7 +340,7 @@ def _cpi_mult(k: int, c: int) -> int:
     env = os.environ.get("PT_SWEEP_CPI")
     if env:
         return int(env)
-    return max(1, min(1536 // max(k, LANES), c // 4))
+    return max(1, min(1024 // max(k, LANES), c // 4))
 
 
 def _pad_cols(st, si, cpi):
