@@ -130,11 +130,17 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
         radiance = jax.lax.psum(radiance, "sample") / cfg.spp
         return radiance
 
+    # check_vma=False: the integrator's scan/while carries initialize
+    # from constants (jnp.full), which the varying-manual-axes checker
+    # rejects under shard_map even though the program is correct (the
+    # only collective is the psum below). Disabling the static check is
+    # the supported escape hatch; layout-invariance tests pin semantics.
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile"), P()),
         out_specs=P("tile"),
+        check_vma=False,
     )(scene, cam, frame_idx, pixel_ids, inv_perm)
     # shards return lane-order radiance; one global scatter un-swizzles
     # back to row-major (identity when no swizzle applied).
