@@ -154,8 +154,9 @@ def tile_cull(aabb_lo, aabb_hi, o, inv_d, t_max, *, t_min, n_tiles,
     zero-padded to a lane multiple with far boxes that can never pass the
     t_near <= t_max test.
 
-    PT_CULL_SKIP=1 (default) adds the supercluster block gate
-    (_cull_kernel_skip); PT_CULL_BLK sets the gated lane-block width.
+    PT_CULL_SKIP=1 (default OFF — measured rejection, PERF.md 0.37) adds
+    the supercluster block gate (_cull_kernel_skip); PT_CULL_BLK sets the
+    gated lane-block width.
     Env is read HERE (outside jit) so it participates in the jit cache
     key via the static args.
     """
