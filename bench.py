@@ -25,6 +25,10 @@ def _enable_compile_cache():
 
 
 def main():
+    if os.environ.get("PT_PLATFORM"):     # off-chip smoke runs (app.py:37)
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["PT_PLATFORM"])
     _enable_compile_cache()
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
