@@ -1,7 +1,7 @@
 """Depth x NEE attribution of the true multi-bounce headline frame.
 
 Renders the 1080p/262k sponza_like frame at several max_depths with and
-without NEE shadow rays (PT_SKIP_NEE trace-time env) to attribute the
+without NEE shadow rays (cfg.skip_nee, bench-only) to attribute the
 frame cost: primary trace vs per-bounce closest-hit vs shadow batches.
 
 Usage: COMBOS="6:0,6:1,1:0,3:0" python benchmarks/depth_attrib.py
@@ -43,9 +43,8 @@ def main():
     cs = cam.state()
 
     for depth, skip_nee in combos:
-        os.environ["PT_SKIP_NEE"] = str(skip_nee)
         cfg = RenderConfig(width=w, height=h, spp=1, max_depth=depth,
-                           intersector="cluster")
+                           intersector="cluster", skip_nee=bool(skip_nee))
         render_sample.clear_cache()
         img, rays = render_sample(scene, cfg, cs, 0, 0)
         float(jnp.sum(img))

@@ -20,9 +20,8 @@ import jax
 import jax.numpy as jnp
 
 _MANAGED = ["PT_SWEEP_GATE", "PT_OCCL_DB", "PT_CLOSEST_DB",
-            "PT_OCCL_ACCEL", "PT_SKIP_NEE", "PT_DIR_BITS",
-            "PT_REV_SCHED", "PT_REV_MORTON", "PT_BOUNCE_ACCEL",
-            "PT_TWO_PHASE", "PT_TILE_RAYS"]
+            "PT_OCCL_ACCEL", "PT_DIR_BITS",
+            "PT_BOUNCE_ACCEL", "PT_TILE_RAYS"]
 
 
 def main():
@@ -57,16 +56,16 @@ def main():
         for var in _MANAGED:
             os.environ.pop(var, None)
         label = entry.strip() or "defaults"
-        rev = False
+        skip_nee = False
         for assign in entry.split(";"):
             if assign.strip():
                 k, v = assign.strip().split("=")
-                if k == "rev":           # special: cfg.shadow_from_light
-                    rev = v != "0"
+                if k == "PT_SKIP_NEE":   # special: cfg.skip_nee
+                    skip_nee = v != "0"
                 else:
                     os.environ[k] = v
         cfg = RenderConfig(width=w, height=h, spp=1, max_depth=depth,
-                           intersector="cluster", shadow_from_light=rev)
+                           intersector="cluster", skip_nee=skip_nee)
         render_sample.clear_cache()
 
         img, rays = render_sample(scene, cfg, cs, 0, 0)

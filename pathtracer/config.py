@@ -113,24 +113,10 @@ class RenderConfig:
     # enable it at spp <= 4.
     spp_batch: bool = False
 
-    # Trace NEE shadow rays in REVERSE (from the sampled light point toward
-    # the surface). The blocked set is identical (the facing convention
-    # flips, handled by front_sign; the tested segment interval matches to
-    # the same relative epsilons), but the BATCH GEOMETRY changes class:
-    # forward shadow origins are as incoherent as bounce origins (measured,
-    # docs/PERF.md round-2 log 0.9), while reversed origins cluster on the
-    # emitter area - the batch becomes camera-like (tight origins, sorted
-    # direction cone) and sweeps at primary-ray rates. No effect in
-    # reference_quirks mode (the quirk scheme aims behind the light).
-    shadow_from_light: bool = False
-
-    # Windowed two-phase traversal for bounce rays: phase 1 traces only
-    # [t_min, w * scene_diagonal]; escape rays re-sort among themselves
-    # and trace the remainder (kernels/packet.intersect_clusters_two_
-    # phase; exact at any window). Measured ~neutral on the headline
-    # (-1.5% at w=0.2, docs/PERF.md 0.17) - kept as an option for
-    # contact-heavy scenes. 0 = off. PT_TWO_PHASE env overrides.
-    two_phase_window: float = 0.0
+    # BENCH-ONLY: drop the NEE stage entirely (changes the estimator!).
+    # Used by benchmarks/depth_attrib.py + env_ab.py to attribute the
+    # shadow-ray cost within real frames. Never set in production.
+    skip_nee: bool = False
 
     # Verified primary-hit prediction across the progressive spp loop:
     # feed each sample's primary hits (one i32 per pixel) back as the

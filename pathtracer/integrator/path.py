@@ -452,7 +452,7 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
         s_tmax = seg_len * (1.0 - 1e-3)
     valid = geo_ok if shade is None else (geo_ok & shade)
     new_blk = None
-    if prime_blk is not None and not cfg.shadow_from_light:
+    if prime_blk is not None:
         # Verified blocker prediction (exact): re-test the hinted
         # triangle against THIS segment under the traversal's own policy
         # (front-facing, 0 < t < tmax, kernels/packet._mt_any_front). A
@@ -479,21 +479,6 @@ def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
         # adopt traversal's blocker where it found one
         new_blk = jnp.where(need & blocked_tr, btri, prime_blk)
         blocked = ver | blocked_tr
-    elif cfg.shadow_from_light and not cfg.reference_quirks:
-        # REVERSED shadow ray: origin just off the sampled light point,
-        # aimed at the surface. Same tested interval as the forward
-        # scheme - the origin offset seg_len*1e-3 mirrors the forward
-        # tmax pullback, t > 0 excludes the emitter plane, t < tmax
-        # excludes the receiver - and the facing convention flips
-        # (front_sign=-1). Why: reversed origins cluster on the emitter,
-        # so the occlusion batch is camera-class coherent instead of
-        # bounce-class (cfg.shadow_from_light docstring).
-        d_r = -s_dir
-        o_r = p_on_light + d_r * (seg_len * 1e-3)[..., None]
-        o_r = jnp.where(valid[..., None], o_r, 1e30)  # park dead lanes
-        d_r = jnp.where(valid[..., None], d_r, 1.0)
-        blocked = occluded_fn(o_r, d_r, s_tmax, primary=primary,
-                              front_sign=-1.0)
     else:
         s_orig = jnp.where(valid[..., None], s_orig, 1e30)  # park dead
         s_dir = jnp.where(valid[..., None], s_dir, 1.0)
@@ -778,10 +763,9 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
 
         # --- NEE (raygen.rgen:168-261) ---
         shade = active & ~passthrough & ~is_dielectric
-        # PT_SKIP_NEE=1 (trace-time env, benchmarks/env_ab.py only):
-        # drop the NEE stage to attribute its cost in real frames.
-        import os as _os
-        skip_nee = _os.environ.get("PT_SKIP_NEE", "0") != "0"
+        # cfg.skip_nee (bench-only, benchmarks/depth_attrib.py): drop the
+        # NEE stage to attribute its cost in real frames.
+        skip_nee = cfg.skip_nee
         if scene.has_lights and not skip_nee:
             if primary and prime_blk is not None:
                 # bounce-0 shadow blocker priming: hints ride per PIXEL

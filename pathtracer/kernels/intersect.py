@@ -120,18 +120,13 @@ def intersect_brute(o, d, tri_v0, tri_v1, tri_v2, t_min, t_max,
 
 
 def occluded_brute(o, d, t_max, tri_v0, tri_v1, tri_v2,
-                   tri_chunk: int = 256, front_sign: float = 1.0,
+                   tri_chunk: int = 256,
                    want_blocker: bool = False):
     """Any-hit visibility test with backface skip (raygen.rgen:210-230).
 
     Returns bool[N]: True where the segment (o, d*t_max) is blocked by a
     front-facing triangle. Back-facing occluders are ignored, matching the
     reference's shadow-walk policy (raygen.rgen:215-218).
-
-    front_sign = +1.0 tests blockers front-facing to d (the forward
-    convention); -1.0 flips it, for shadow rays traced in REVERSE (from
-    the light toward the surface): a blocker front-facing to the original
-    surface->light direction is back-facing to the reversed ray.
 
     want_blocker: also return i32[N] = the id of SOME blocking triangle
     (-1 where unblocked) - the shadow-priming hint (any-hit semantics:
@@ -158,7 +153,7 @@ def occluded_brute(o, d, t_max, tri_v0, tri_v1, tri_v2,
             0.0, jnp.inf)
         # front-facing to the shadow ray: geometric normal opposes d.
         gn = vmath.cross(v1c - v0c, v2c - v0c)[None, :, :]
-        front = front_sign * vmath.dot(d[:, None, :], gn) < 0.0
+        front = vmath.dot(d[:, None, :], gn) < 0.0
         hit = hit & front & (t < t_max[:, None])
         any_hit = jnp.any(hit, axis=1)
         new = any_hit & ~blocked

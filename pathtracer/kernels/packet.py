@@ -456,20 +456,13 @@ def _frustum_cull(accel: ClusterAccel, o, d, t_min, t_max, n_tiles,
     return jnp.where(hit, jnp.maximum(near_lower, 0.0), jnp.inf)
 
 
-def _sorted_schedule(tile_tnear, cpi, descending=False):
+def _sorted_schedule(tile_tnear, cpi):
     """Sort each tile's cluster list near-to-far ONCE, padded to cpi.
 
     The traversal loop then just slices consecutive columns - no per-
     iteration argmin/masking (small ops dominate loop-body cost on this
     platform). Returns (sorted_tnear, sorted_cids) f32/i32 [tiles, C'].
-
-    descending=True visits clusters far-to-near instead (REVERSED
-    occlusion rays: blockers concentrate near the receiver = the far end
-    of a light->surface ray, so any-hit early exit wants far first).
-    Non-visited clusters stay +inf either way; the returned distances are
-    NEGATED for finite entries in this mode - only their finiteness is
-    meaningful to the occlusion sweep (closest-hit must NOT use it: its
-    early-out compares real distances against best_t).
+    Non-visited clusters stay +inf.
     """
     tiles, c = tile_tnear.shape
     pad = (-c) % cpi
@@ -483,10 +476,7 @@ def _sorted_schedule(tile_tnear, cpi, descending=False):
     # semantics to reason about)
     if (os.environ.get("PT_SCHED_PACK", "0") != "0"
             and tile_tnear.shape[1] <= (1 << 12)):
-        return _packed_schedule_sort(tile_tnear, descending)
-    if descending:
-        tile_tnear = jnp.where(jnp.isfinite(tile_tnear), -tile_tnear,
-                               jnp.inf)
+        return _packed_schedule_sort(tile_tnear)
     ids = jnp.broadcast_to(
         jnp.arange(tile_tnear.shape[1], dtype=jnp.int32)[None, :],
         tile_tnear.shape)
@@ -496,7 +486,7 @@ def _sorted_schedule(tile_tnear, cpi, descending=False):
     return st, si
 
 
-def _packed_schedule_sort(tile_tnear, descending=False):
+def _packed_schedule_sort(tile_tnear):
     """One-operand u32 schedule sort: (quantized entry << 12) | cid.
 
     The (f32 key, i32 id) two-operand lax.sort moves twice the bytes
@@ -506,10 +496,6 @@ def _packed_schedule_sort(tile_tnear, descending=False):
     st_q <= true entry keeps the stop rule conservative (walks at most
     one extra quantum), and order-only tie flips are between equal-t
     duplicate references. Requires C' <= 4096 ids (caller checks).
-
-    Receives the NON-negated entries; descending=True sorts far-first
-    and returns negated finite st (the _sorted_schedule contract - only
-    finiteness is meaningful to the occlusion sweep in that mode).
     """
     tiles, c = tile_tnear.shape
     fin = jnp.isfinite(tile_tnear)
@@ -518,22 +504,16 @@ def _packed_schedule_sort(tile_tnear, descending=False):
     maxq = (1 << 20) - 2
     q = jnp.minimum((mag * (maxq / scale)).astype(jnp.uint32),
                     jnp.uint32(maxq))
-    if descending:  # far entries first; pad/inf still sort to the top
-        q = jnp.uint32(maxq) - q
     key = jnp.where(fin,
                     (q << 12) | jnp.arange(c, dtype=jnp.uint32)[None, :],
                     jnp.uint32(0xFFFFFFFF))
     key = jax.lax.sort(key, dimension=1)
     valid = key != jnp.uint32(0xFFFFFFFF)
     qs = (key >> 12).astype(jnp.float32)
-    if descending:
-        qs = jnp.float32(maxq) - qs
     # -1 quantum: f32 rounding in the quantize multiply may round a
     # bucket UP; the closest stop rule needs st <= true entry strictly
     qs = jnp.maximum(qs - 1.0, 0.0)
     st = jnp.where(valid, qs * (scale / maxq), jnp.inf)
-    if descending:
-        st = jnp.where(valid, -st, st)
     si = jnp.where(valid, (key & jnp.uint32(0xFFF)).astype(jnp.int32), 0)
     return st, si
 
@@ -576,12 +556,8 @@ def _mt_closest(block, o, d, t_min, t_max):
     return tj, uj, vj, idj
 
 
-def _mt_any_front(block, o, d, t_max, front_sign=1.0, want_id=False):
+def _mt_any_front(block, o, d, t_max, want_id=False):
     """Any front-facing hit below t_max (shadow policy raygen.rgen:214-218).
-
-    front_sign = -1.0 flips the facing test for REVERSED shadow rays
-    (traced light->surface): front-facing to the original surface->light
-    direction means back-facing to the reversed ray.
 
     want_id: also return i32[tiles, R] = id of SOME blocking triangle
     (-1 where none) - the shadow-priming hint.
@@ -600,7 +576,7 @@ def _mt_any_front(block, o, d, t_max, front_sign=1.0, want_id=False):
     v = jnp.sum(db * qvec, axis=-1) * inv_det
     t = jnp.sum(e2 * qvec, axis=-1) * inv_det
     gn = jnp.cross(e1, e2)
-    front = front_sign * jnp.sum(db * gn, axis=-1) < 0.0
+    front = jnp.sum(db * gn, axis=-1) < 0.0
     ok = ((jnp.abs(det) > DET_EPS)
           & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
           & (t > 0.0) & (t < t_max[:, :, None]) & front)
@@ -641,11 +617,8 @@ def _unsort_hit(t, tri, u, v, n, inv):
 
 def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
                      tile_rays, cpi, cull, backend="xla", dir_bits=None,
-                     cull_t_min=None, group=None):
-    # cull_t_min: lower bound for the CULL's segment test only (two-phase
-    # traversal: phase 2 skips clusters entirely inside the phase-1
-    # window); MT keeps the true t_min.
-    seg_min = t_min if cull_t_min is None else cull_t_min
+                     group=None):
+    seg_min = t_min
 
     def run(rays):
         # Static-shape stream compaction, chunk level: when the integrator
@@ -746,8 +719,7 @@ def _intersect_chunk(accel: ClusterAccel, t_min, sort_rays,
 
 
 def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
-                    backend="xla", dir_bits=None, front_sign=1.0,
-                    schedule_far=False, morton_end=False, group=None,
+                    backend="xla", dir_bits=None, group=None,
                     want_blocker=False):
     def run(rays):
         def dead(rays):
@@ -765,14 +737,8 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
         ref = o_in[..., 0] + d_in[..., 0]
 
         if sort_rays:
-            # morton_end: key origin locality on the segment ENDPOINT
-            # (the receiver) instead of the origin - for reversed shadow
-            # rays all origins sit on the emitter and carry no entropy,
-            # while receiver locality predicts which far clusters a tile
-            # needs. Parked lanes (o >= 1e29) still key to the tail.
-            o_key = (o_in + d_in * tmax_in[:, None]) if morton_end else o_in
             order, inv = _coherence_order(
-                accel, o_key, d_in, dir_bits,
+                accel, o_in, d_in, dir_bits,
                 scheme=os.environ.get("PT_KEY_SCHEME_OCCL", "dirmajor"))
             odt = jnp.concatenate(
                 [o_in, d_in, tmax_in[:, None]], axis=1)[order]
@@ -800,12 +766,11 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
                 blocks_sweep = accel.blocks_t
             k = blocks_sweep.shape[2]
             p_cpi = max(1, pallas_sweep.LANES // k)
-            st, si = _sorted_schedule(tile_tnear, p_cpi,
-                                      descending=schedule_far)
+            st, si = _sorted_schedule(tile_tnear, p_cpi)
             rays6 = jnp.swapaxes(jnp.concatenate([ot, dt], axis=2), 1, 2)
             out = pallas_sweep.sweep_occluded(
                 st, si, rays6, tm, blocks_sweep,
-                interpret=_pallas_interpret(), front_sign=front_sign,
+                interpret=_pallas_interpret(),
                 want_blocker=want_blocker)
             if want_blocker:
                 blocked, btri = out[0] > 0, out[1]
@@ -818,7 +783,7 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
                 blocked = blocked[inv]
             return blocked
 
-        st, si = _sorted_schedule(tile_tnear, cpi, descending=schedule_far)
+        st, si = _sorted_schedule(tile_tnear, cpi)
         n_cols = st.shape[1]
 
         state = (
@@ -841,12 +806,12 @@ def _occluded_chunk(accel: ClusterAccel, sort_rays, tile_rays, cpi, cull,
 
             block = _fetch_blocks(accel, cids)
             if want_blocker:
-                newly, nid = _mt_any_front(block, ot, dt, tm, front_sign,
+                newly, nid = _mt_any_front(block, ot, dt, tm,
                                            want_id=True)
                 upd = newly & live[:, None] & ~blocked
                 btri = jnp.where(upd, nid, btri)
             else:
-                newly = _mt_any_front(block, ot, dt, tm, front_sign)
+                newly = _mt_any_front(block, ot, dt, tm)
             blocked = blocked | (newly & live[:, None])
             return j + cpi, blocked, btri
 
@@ -907,13 +872,11 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
                        sort_rays: bool = True, tile_rays: int = None,
                        cpi: int = None, chunk_rays: int = None,
                        cull: str = "ray", backend: str = "xla",
-                       dir_bits: int = None, cull_t_min=None,
+                       dir_bits: int = None,
                        group: int = None) -> Hit:
     """Closest hit of rays o/d [N,3] via packet traversal.
 
-    t_max may be a scalar or per-ray [N] (two-phase traversal passes the
-    phase-1 resolution as a per-ray cap). cull_t_min tightens only the
-    cull's segment lower bound (see _intersect_chunk).
+    t_max may be a scalar or per-ray [N].
     """
     if dir_bits is None:
         # 3 bits/axis with the fine (K=128) default clusters: tight cull
@@ -944,7 +907,7 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
         sort_rays = False
     hit = _chunk_map(
         _intersect_chunk(accel, t_min, sort_rays, tile_rays, cpi,
-                         cull, backend, dir_bits, cull_t_min, group),
+                         cull, backend, dir_bits, group),
         (o, d, t_max), n, tile_rays, chunk_rays)
     if ridx is not None:
         t, tri, u, v = _unsort_by_ridx(ridx, (hit.t, hit.tri, hit.u,
@@ -955,61 +918,14 @@ def intersect_clusters(accel: ClusterAccel, o, d, t_min, t_max,
     return _unsort_hit(hit.t, hit.tri, hit.u, hit.v, n, inv)
 
 
-def intersect_clusters_two_phase(accel: ClusterAccel, o, d, t_min, t_max,
-                                 window: float, **kw) -> Hit:
-    """Windowed two-phase closest hit: short segments first (docs 0.15).
-
-    Phase 1 traces every ray only over [t_min, window]: per-ray culls see
-    short segments, so tile schedules shrink to the contact neighborhood
-    (most interior hits are near). Rays that either hit within the window
-    or exit the scene before it are RESOLVED; the rest - the escape rays
-    whose long segments union half the scene - are re-sorted among
-    themselves and traced over [window, t_max] with the cull's segment
-    lower bound raised (clusters inside the window are skipped).
-
-    Exact: a hit with t <= window lies in a cluster whose AABB overlaps
-    the phase-1 segment, so phase 1 finds it; phase-1 hits BEYOND the
-    window are discarded (their closest status is unproven) and re-found
-    by phase 2.
-    """
-    n = o.shape[0]
-    t_max_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    w = jnp.float32(window)
-
-    hit1 = intersect_clusters(accel, o, d, t_min,
-                              jnp.minimum(t_max_r, w), **kw)
-    found = (hit1.tri >= 0) & (hit1.t <= w)
-    cap = _scene_exit(accel, o, d, t_max_r)
-    resolved = found | (cap <= w) | (o[:, 0] >= 1e29)
-
-    live2 = ~resolved
-    o2 = jnp.where(live2[:, None], o, _PARK)
-    d2 = jnp.where(live2[:, None], d, jnp.float32(_PAD_VALUES[1]))
-    tm2 = jnp.where(live2, t_max_r, 0.0)
-    hit2 = intersect_clusters(accel, o2, d2, t_min, tm2,
-                              cull_t_min=w * (1.0 - 1e-3), **kw)
-
-    pick1 = found
-    return Hit(
-        t=jnp.where(pick1, hit1.t, hit2.t),
-        tri=jnp.where(pick1, hit1.tri, hit2.tri),
-        u=jnp.where(pick1, hit1.u, hit2.u),
-        v=jnp.where(pick1, hit1.v, hit2.v))
-
-
 def occluded_clusters(accel: ClusterAccel, o, d, t_max,
                       sort_rays: bool = True, tile_rays: int = None,
                       cpi: int = None, chunk_rays: int = None,
                       cull: str = "ray", backend: str = "xla",
-                      dir_bits: int = None, front_sign: float = 1.0,
-                      schedule_far: bool = False, morton_end: bool = False,
+                      dir_bits: int = None,
                       group: int = None, want_blocker: bool = False):
     """Any-hit (front-facing) visibility via packet traversal.
 
-    front_sign = -1.0 flips the backface-skip convention for shadow rays
-    traced in REVERSE (light -> surface); see _mt_any_front. schedule_far
-    visits clusters far-to-near (see _sorted_schedule); morton_end keys
-    the coherence sort on segment endpoints (see _occluded_chunk).
     want_blocker: also return i32[N] blocker-triangle hints (-1 open).
     """
     if dir_bits is None:
@@ -1024,21 +940,19 @@ def occluded_clusters(accel: ClusterAccel, o, d, t_max,
     ridx = None
     if (sort_rays and n > chunk_rays
             and os.environ.get("PT_SORT_SCOPE", "global") == "global"):
-        o_key = (o + d * t_max[:, None]) if morton_end else o
         scheme = os.environ.get("PT_KEY_SCHEME_OCCL", "dirmajor")
         if os.environ.get("PT_PERMUTE", "sortnet") == "gather":
-            order, inv = _coherence_order(accel, o_key, d, dir_bits,
+            order, inv = _coherence_order(accel, o, d, dir_bits,
                                           scheme=scheme)
             odt = jnp.concatenate([o, d, t_max[:, None]], axis=1)[order]
             o, d, t_max = odt[:, 0:3], odt[:, 3:6], odt[:, 6]
         else:
-            key = _coherence_key(accel, o_key, d, dir_bits, scheme=scheme)
+            key = _coherence_key(accel, o, d, dir_bits, scheme=scheme)
             o, d, t_max, ridx = _sort_rays_by_key(key, o, d, t_max)
         sort_rays = False
     out = _chunk_map(
         _occluded_chunk(accel, sort_rays, tile_rays, cpi, cull, backend,
-                        dir_bits, front_sign, schedule_far, morton_end,
-                        group, want_blocker),
+                        dir_bits, group, want_blocker),
         (o, d, t_max), n, tile_rays, chunk_rays)
     if ridx is not None:
         leaves, treedef = jax.tree_util.tree_flatten(out)

@@ -204,7 +204,7 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
 def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
                  out_ref, *rest, cpi, k, n_cols,
-                 front_sign=1.0, want_blocker=False):
+                 want_blocker=False):
     """Occlusion sweep. With want_blocker, a second output carries the id
     of SOME blocking triangle per ray (-1 open) - the shadow-priming hint
     (any-hit semantics: which blocker is unspecified). The id extraction
@@ -263,10 +263,8 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
         block = scratch[slot]
         t, u, v, denom = _bw_lane(block, rays, 0.0, jnp.inf)
         # denom = dir . (e1 x e2): its sign IS the facing test - no
-        # geometric-normal recompute. front_sign = -1.0 flips the
-        # convention for REVERSED shadow rays (light -> surface); see
-        # kernels/packet._mt_any_front.
-        front = front_sign * denom < 0.0
+        # geometric-normal recompute (kernels/packet._mt_any_front).
+        front = denom < 0.0
         hit = jnp.isfinite(t) & front & (t < t_max)
         any_hit = jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
         if want_blocker:
@@ -427,7 +425,7 @@ def sweep_closest(st, si, rays, t_cap, blocks_t, t_min,
 
 
 def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
-                   front_sign=1.0, want_blocker=False):
+                   want_blocker=False):
     """Run the occlusion sweep kernel. Returns blocked i32[tiles, R];
     with want_blocker, (blocked, blocker_tri i32[tiles, R], -1 open)."""
     k = blocks_t.shape[2]
@@ -438,7 +436,6 @@ def sweep_occluded(st, si, rays, t_max_rays, blocks_t, interpret=False,
     n_cols = cs // cpi
 
     kern = functools.partial(_occl_kernel, cpi=cpi, k=k, n_cols=n_cols,
-                             front_sign=float(front_sign),
                              want_blocker=want_blocker)
     vspec = lambda d2, d3: pl.BlockSpec(  # noqa: E731
         (1, d2, d3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)

@@ -203,7 +203,7 @@ def _intersect_chunk(packed: PackedBvh, t_min, t_max):
     return run
 
 
-def _occluded_chunk(packed: PackedBvh, front_sign=1.0):
+def _occluded_chunk(packed: PackedBvh):
     nodes = packed.nodes
     tris = packed.tris
 
@@ -246,7 +246,7 @@ def _occluded_chunk(packed: PackedBvh, front_sign=1.0):
             # front-facing to the shadow ray: geometric normal opposes d
             # (raygen.rgen:215-218 backface-skip policy).
             gn = vmath.cross(e1, e2)
-            front = front_sign * vmath.dot(d, gn) < 0.0
+            front = vmath.dot(d, gn) < 0.0
             newly = is_leaf & tri_hit & front & (t < t_max)
             blocked = blocked | newly
 
@@ -267,15 +267,10 @@ def intersect_packed(packed: PackedBvh, o, d, t_min, t_max) -> Hit:
                       o.shape[0])
 
 
-def occluded_packed(packed: PackedBvh, o, d, t_max,
-                    front_sign=1.0):
-    """Any-hit visibility with backface skip. Returns bool[N].
-
-    front_sign = -1.0 flips the facing test for REVERSED shadow rays
-    (light -> surface); see kernels/packet._mt_any_front.
-    """
+def occluded_packed(packed: PackedBvh, o, d, t_max):
+    """Any-hit visibility with backface skip. Returns bool[N]."""
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), o.shape[:-1])
-    return _chunk_map(_occluded_chunk(packed, front_sign), (o, d, t_max),
+    return _chunk_map(_occluded_chunk(packed), (o, d, t_max),
                       o.shape[0])
 
 

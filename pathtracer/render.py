@@ -38,10 +38,8 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return isect.intersect_brute(o, d, v0, v1, v2, t_min, t_max)
 
-        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0,
-                        want_blocker=False):
+        def occluded_fn(o, d, t_max, primary=False, want_blocker=False):
             return isect.occluded_brute(o, d, t_max, v0, v1, v2,
-                                        front_sign=front_sign,
                                         want_blocker=want_blocker)
     elif cfg.intersector == "cluster":
         if scene.clusters is None:
@@ -76,23 +74,6 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
 
             a = accel if (not primary and os.environ.get(
                 "PT_BOUNCE_ACCEL") == "morton") else accel_fine
-            # Two-phase windowed traversal for incoherent bounce batches
-            # (cfg.two_phase_window = window as a fraction of the scene
-            # diagonal, kernels/packet.intersect_clusters_two_phase):
-            # short contact segments first, escape rays re-sorted into a
-            # second pass. PT_TWO_PHASE env overrides for A/Bs.
-            frac = float(os.environ.get("PT_TWO_PHASE",
-                                        str(cfg.two_phase_window)) or 0)
-            if frac > 0 and not primary:
-                finite = a.aabb_lo[:, 0] < 1e29
-                lo = jnp.min(jnp.where(finite[:, None], a.aabb_lo,
-                                       jnp.inf), axis=0)
-                hi = jnp.max(jnp.where(finite[:, None], a.aabb_hi,
-                                       -jnp.inf), axis=0)
-                diag = jnp.sqrt(jnp.sum((hi - lo) ** 2))
-                return packet.intersect_clusters_two_phase(
-                    a, o, d, t_min, t_max, diag * frac,
-                    backend=backend, sort_rays=sort_rays)
             # Per-call fetch group (PT_GROUP_PRIMARY / PT_GROUP_BOUNCE,
             # falling back to PT_FETCH_GROUP): camera tiles pair worse
             # than bounce tiles (benchmarks/pair_stats.py), so the DMA
@@ -106,8 +87,7 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
                                              group=int(grp) if grp
                                              else None)
 
-        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0,
-                        want_blocker=False):
+        def occluded_fn(o, d, t_max, primary=False, want_blocker=False):
             # The default chunk is now the whole wavefront (global sort
             # pool - see kernels/packet.CHUNK_TILES), so the old 131k
             # special case for bounce 0's fully-live shadow batch is
@@ -118,21 +98,10 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
 
             a = accel_fine if os.environ.get(
                 "PT_OCCL_ACCEL") == "fine" else accel
-            # Reversed (light->surface) shadow rays: blockers sit near
-            # the RECEIVER end, so visit clusters far-to-near and key
-            # ray coherence on segment endpoints (A/B knobs).
-            rev = front_sign < 0
-            sched_far = rev and os.environ.get(
-                "PT_REV_SCHED", "far") == "far"
-            m_end = rev and os.environ.get(
-                "PT_REV_MORTON", "end") == "end"
             grp = os.environ.get("PT_GROUP_OCCL")
             return packet.occluded_clusters(a, o, d, t_max,
                                             backend=backend,
                                             sort_rays=sort_rays,
-                                            front_sign=front_sign,
-                                            schedule_far=sched_far,
-                                            morton_end=m_end,
                                             group=int(grp) if grp
                                             else None,
                                             want_blocker=want_blocker)
@@ -147,10 +116,8 @@ def make_intersectors(scene: Scene, cfg: RenderConfig):
         def intersect_fn(o, d, t_min, t_max, primary=False):
             return traverse.intersect_packed(packed, o, d, t_min, t_max)
 
-        def occluded_fn(o, d, t_max, primary=False, front_sign=1.0,
-                        want_blocker=False):
-            blocked = traverse.occluded_packed(packed, o, d, t_max,
-                                               front_sign=front_sign)
+        def occluded_fn(o, d, t_max, primary=False, want_blocker=False):
+            blocked = traverse.occluded_packed(packed, o, d, t_max)
             if want_blocker:
                 # BVH backend reports no blocker ids: hints stay empty
                 # (priming then never accelerates, still exact).

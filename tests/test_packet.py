@@ -193,24 +193,9 @@ def test_sahsplit_architectural_exactness():
     np.testing.assert_array_equal(oc, obr)
 
 
-def test_two_phase_matches_single_phase(random_tri_soup, random_rays):
-    """Windowed two-phase traversal is exact at any window size."""
-    from pathtracer.kernels.packet import intersect_clusters_two_phase
-
-    v0, v1, v2 = random_tri_soup
-    o, d = random_rays
-    accel = build_clusters(jnp.asarray(v0), jnp.asarray(v1),
-                           jnp.asarray(v2), max_clusters=16)
-    hr = intersect_brute(jnp.asarray(o), jnp.asarray(d), jnp.asarray(v0),
-                         jnp.asarray(v1), jnp.asarray(v2), 1e-3, 1e20)
-    for w in (0.05, 0.5, 2.0, 100.0):
-        hp = intersect_clusters_two_phase(
-            accel, jnp.asarray(o), jnp.asarray(d), 1e-3, 1e20, w)
-        np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hr.tri))
-        both = np.asarray(hp.tri) >= 0
-        np.testing.assert_allclose(np.asarray(hp.t)[both],
-                                   np.asarray(hr.t)[both],
-                                   rtol=1e-4, atol=1e-5)
+# (the windowed two-phase traversal and reversed-shadow-ray variants were
+# measured-rejected options, removed round 4; docs/PERF.md 0.13/0.17 hold
+# the burial records)
 
 
 def test_per_ray_tmax():

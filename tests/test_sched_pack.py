@@ -9,7 +9,6 @@ The packed variant (packet._packed_schedule_sort) replaces the
   - order is non-decreasing in the true entry up to one quantum,
   - end-to-end intersect/occluded results match the unpacked schedule
     on tie-free geometry,
-  - descending (occlusion far-first) mode: negated finite st, same
     membership.
 """
 
@@ -45,18 +44,17 @@ def _tnear(accel, o, d, n_tiles):
                              n_tiles, o.shape[0] // n_tiles)
 
 
-@pytest.mark.parametrize("descending", [False, True])
-def test_packed_matches_unpacked_membership_and_bound(descending):
+def test_packed_matches_unpacked_membership_and_bound():
     accel = build_clusters(*_soup(2000), max_clusters=64)
     o, d = _rays(256)
     tn = _tnear(accel, o, d, 4)
     cpi = 4
 
     os.environ["PT_SCHED_PACK"] = "0"
-    st0, si0 = packet._sorted_schedule(tn, cpi, descending=descending)
+    st0, si0 = packet._sorted_schedule(tn, cpi)
     os.environ["PT_SCHED_PACK"] = "1"
     try:
-        st1, si1 = packet._sorted_schedule(tn, cpi, descending=descending)
+        st1, si1 = packet._sorted_schedule(tn, cpi)
     finally:
         os.environ.pop("PT_SCHED_PACK", None)
 
@@ -72,16 +70,11 @@ def test_packed_matches_unpacked_membership_and_bound(descending):
         # conservative lower bound vs the true entry of the SAME cluster
         true = tnn[ti][si1[ti][fin]]
         got = st1[ti][fin]
-        if descending:
-            assert np.all(got <= 0.0)
-            assert np.all(-got <= true + 1e-5 * np.maximum(1.0, true))
-        else:
-            assert np.all(got <= true + 1e-6)
-            # within one quantum of the truth (20-bit over the batch max)
-            quant = 2.0 * float(np.max(true, initial=0.0) + 1.0) / ((1 << 20) - 2)
-            assert np.all(true - got <= max(quant, 1e-4) + 1e-3 * true)
-        # non-decreasing in quantized order (descending mode returns
-        # negated magnitudes, so far-first is ALSO non-decreasing)
+        assert np.all(got <= true + 1e-6)
+        # within one quantum of the truth (20-bit over the batch max)
+        quant = 2.0 * float(np.max(true, initial=0.0) + 1.0) / ((1 << 20) - 2)
+        assert np.all(true - got <= max(quant, 1e-4) + 1e-3 * true)
+        # non-decreasing in quantized order
         assert np.all(np.diff(got) >= -1e-6)
 
 
