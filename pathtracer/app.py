@@ -194,8 +194,8 @@ def main(argv=None):
     ap.add_argument("--mesh", default=None, metavar="TILE,SAMPLE",
                     help="render across a (tile, sample) device mesh via "
                          "shard_map (parallel/sharding.py); e.g. '4,2' on "
-                         "8 devices. 'auto' factorizes all visible devices."
-                         " Priming/denoise are single-chip-only.")
+                         "8 devices. 'auto' factorizes all visible "
+                         "devices. Composes with --priming/--denoise.")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -219,9 +219,6 @@ def main(argv=None):
     if args.mesh:
         from pathtracer.parallel.sharding import make_mesh
 
-        if args.denoise or args.priming:
-            raise SystemExit("--mesh is incompatible with --denoise/"
-                             "--priming (single-chip-only paths)")
         if args.mesh == "auto":
             mesh = make_mesh()
         else:

@@ -527,7 +527,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
                 intersect_fn: Callable, occluded_fn: Callable,
                 prime=None, want_gbuffer: bool = False,
-                n_pixels: int = None):
+                n_pixels: int = None, local_pix=None):
     """Trace a batch of paths to completion.
 
     Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
@@ -558,6 +558,12 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     depth f32[P] (inf = sky), albedo f32[P,3]) in pixel order - the
     auxiliary features the edge-aware denoiser keys on (film/denoise).
 
+    local_pix: optional i32[N] per-LANE index into the per-pixel arrays
+    (prime rows, G-buffer rows) replacing the global `pixel_ids` at the
+    primary gather/scatter sites. Sharded rendering passes the shard-
+    local lane->row mapping here while RNG keeps keying on true global
+    pixel ids (parallel/sharding.py); single-chip callers omit it.
+
     intersect_fn(o, d, t_min, t_max) -> Hit
     occluded_fn(o, d, t_max) -> bool[N]
     """
@@ -583,6 +589,14 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     prime_env = prime[:, 2] if prime is not None else None
     prime_state = {"out": None, "blk": None, "envb": None}
     gbuf_state = {}
+
+    def _lp(pix):
+        # lane -> per-pixel row index; only ever evaluated at the primary
+        # bounce, where lane order is still the input order (bounce 0 is
+        # peeled and skips the coherence sort), so the caller-supplied
+        # mapping stays aligned with `pix`
+        return local_pix if local_pix is not None else pix
+
     verify_rows = None
     if prime is not None:
         # One wide [T, 9] row (v0|v1|v2) per triangle, packed once per
@@ -631,7 +645,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             # first cluster beyond it. Misses keep cfg.t_max.
             from pathtracer.kernels import intersect as isect
 
-            pt = prime_tri[pix]
+            pt = prime_tri[_lp(pix)]
             prow = verify_rows[jnp.maximum(pt, 0)]
             pv0, pv1, pv2 = prow[:, 0:3], prow[:, 3:6], prow[:, 6:9]
             tp, up, vp, okp = isect.ray_triangle(
@@ -655,7 +669,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
         hit_ok = hit.valid & active
         if primary and prime_tri is not None:
             prime_state["out"] = jnp.full(
-                prime_tri.shape, -1, jnp.int32).at[pix].set(
+                prime_tri.shape, -1, jnp.int32).at[_lp(pix)].set(
                     jnp.where(hit_ok, hit.tri, -1), unique_indices=uniq)
 
         # --- miss: environment (miss.rmiss; payload.done) ---
@@ -735,7 +749,7 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 [jnp.zeros((n_pixels, 3), jnp.float32),
                  jnp.full((n_pixels, 1), jnp.inf, jnp.float32),
                  jnp.ones((n_pixels, 3), jnp.float32)], axis=1)
-            g = ginit.at[pix].set(grow, unique_indices=uniq)
+            g = ginit.at[_lp(pix)].set(grow, unique_indices=uniq)
             gbuf_state["normal"] = g[:, 0:3]
             gbuf_state["depth"] = g[:, 3]
             gbuf_state["albedo"] = g[:, 4:7]
@@ -773,11 +787,11 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 # swizzle); verified blocks park out of traversal.
                 nee, new_blk = _nee(scene, cfg, surf, view, pix, samp,
                                     depth, occluded_fn, shade, primary,
-                                    prime_blk=prime_blk[pix],
+                                    prime_blk=prime_blk[_lp(pix)],
                                     verify_rows=verify_rows)
                 if new_blk is not None:
                     prime_state["blk"] = jnp.full(
-                        prime_blk.shape, -1, jnp.int32).at[pix].set(
+                        prime_blk.shape, -1, jnp.int32).at[_lp(pix)].set(
                             new_blk, unique_indices=uniq)
             else:
                 nee = _nee(scene, cfg, surf, view, pix, samp, depth,
@@ -790,10 +804,10 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 env_c, new_envb = _nee_env(scene, cfg, surf, view, pix,
                                            samp, depth, occluded_fn,
                                            shade, primary,
-                                           prime_blk=prime_env[pix],
+                                           prime_blk=prime_env[_lp(pix)],
                                            verify_rows=verify_rows)
                 prime_state["envb"] = jnp.full(
-                    prime_env.shape, -1, jnp.int32).at[pix].set(
+                    prime_env.shape, -1, jnp.int32).at[_lp(pix)].set(
                         new_envb, unique_indices=uniq)
             else:
                 env_c = _nee_env(scene, cfg, surf, view, pix, samp,

@@ -53,15 +53,26 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(arr, axis_names=("tile", "sample"))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "gbuffer", "return_aux"))
 def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                          cam: cam_mod.CameraState, frame_idx,
-                         mesh: Mesh) -> jnp.ndarray:
+                         mesh: Mesh, prime=None, gbuffer: bool = False,
+                         return_aux: bool = False):
     """Render one frame across the mesh. Returns radiance f32[H, W, 3].
 
     Bit-compatible with the single-chip `render_frame`: the counter-based
     RNG keys on (pixel, global sample) so the sharding layout does not
     change the estimate (determinism across layouts).
+
+    prime: optional i32[n_pix, 3] per-PIXEL verified-hint columns
+    (render.py render_frame_with_stats semantics). Hints shard on the
+    tile axis in LANE order; each shard verifies its own slice, and the
+    sample shards' hint outputs merge with a pmax (hints are verified-
+    never-trusted, so ANY sample's prediction is exact by construction).
+    gbuffer: also return the primary-hit G-buffer + SVGF moments for the
+    denoiser, same dict layout as render_frame_batched. return_aux=True
+    switches the return to (radiance, prime_out, gbuf).
     """
     n_tile = mesh.shape["tile"]
     n_sample = mesh.shape["sample"]
@@ -85,12 +96,22 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
         jnp.arange(n_pix, dtype=jnp.int32))
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
 
-    def shard_fn(scene, cam, frame_idx, pixel_ids_local, inv_perm):
+    want_gb = gbuffer and cfg.max_depth > 1
+    # hints ride in LANE order so the tile axis shards them with their
+    # pixels (the swizzle makes pixel-id ranges and lane ranges disagree)
+    prime_lane = prime[pixel_ids] if prime is not None else None
+    lum_w = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+    def shard_fn(scene, cam, frame_idx, pixel_ids_local, inv_perm,
+                 prime_local):
         intersect_fn, occluded_fn = make_intersectors(scene, cfg)
         s_rank = jax.lax.axis_index("sample").astype(jnp.uint32)
         m = pixel_ids_local.shape[0]
         offset = jax.lax.axis_index("tile").astype(jnp.int32) * m
         radiance = jnp.zeros((m, 3), jnp.float32)
+        lane_rows = jnp.arange(m, dtype=jnp.int32)
+        prime_out = None
+        gbuf = None
         if cfg.spp_batch and local_spp > 1:
             # spp-batched shard wavefront (cfg.spp_batch, PERF.md 0.27):
             # the shard's local_spp samples trace as ONE wavefront so
@@ -105,12 +126,30 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
             o, d = cam_mod.generate_primary_rays(
                 cam, w, h, cfg.fov_deg, pix_b, sample_ids, cfg.seed,
                 cfg.sampler)
-            r, pix_out, _, _, _ = path_mod.trace_paths(
+            r, pix_out, _, prime_o, gb = path_mod.trace_paths(
                 scene, cfg, o, d, pix_b, sample_ids,
-                intersect_fn, occluded_fn)
+                intersect_fn, occluded_fn, prime=prime_local,
+                want_gbuffer=want_gb, n_pixels=m,
+                local_pix=jnp.tile(lane_rows, local_spp))
             local = inv_perm[pix_out] - offset
             radiance = radiance.at[local].add(r)   # spp duplicates: ADD
+            prime_out = prime_o
+            if want_gb:
+                lum = jnp.sum(r * lum_w, axis=-1)
+                sel = s_rank == 0
+                # features: ONE sample shard's winner (matches the
+                # single-chip batched scatter's one-winner semantics);
+                # moments: true sums over every sample
+                gbuf = {
+                    "normal": jnp.where(sel, gb["normal"], 0.0),
+                    "depth": jnp.where(sel, gb["depth"], 0.0),
+                    "albedo": jnp.where(sel, gb["albedo"], 0.0),
+                    "m1": jnp.zeros((m,), jnp.float32).at[local].add(lum),
+                    "m2": jnp.zeros((m,), jnp.float32).at[local].add(
+                        lum * lum),
+                }
         else:
+            gb_acc = None
             for s in range(local_spp):
                 gs = (frame_idx * cfg.spp + s_rank * local_spp
                       + jnp.uint32(s))
@@ -118,18 +157,55 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                 o, d = cam_mod.generate_primary_rays(
                     cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids,
                     cfg.seed, cfg.sampler)
-                r, pix_out, _, _, _ = path_mod.trace_paths(
+                r, pix_out, _, prime_o, gb = path_mod.trace_paths(
                     scene, cfg, o, d, pixel_ids_local, sample_ids,
-                    intersect_fn, occluded_fn)
+                    intersect_fn, occluded_fn, prime=prime_local,
+                    want_gbuffer=want_gb, n_pixels=m,
+                    local_pix=lane_rows)
+                if prime_local is not None:
+                    # chain hints across the local spp loop, like the
+                    # single-chip render_frame_with_stats
+                    prime_local = prime_o
+                    prime_out = prime_o
                 # lanes return in wavefront order; scatter-add by lane
                 # slot (inverse swizzle maps pixel id -> global lane,
                 # minus this tile shard's lane offset)
                 local = inv_perm[pix_out] - offset
                 radiance = radiance.at[local].add(r, unique_indices=True)
-        # the one collective: reduce the sample shards over ICI.
+                if want_gb:
+                    lum = jnp.zeros((m,), jnp.float32).at[local].set(
+                        jnp.sum(r * lum_w, axis=-1), unique_indices=True)
+                    gb_s = dict(gb, m1=lum, m2=lum * lum)
+                    gb_acc = gb_s if gb_acc is None else {
+                        k: gb_acc[k] + gb_s[k] for k in gb_acc}
+            gbuf = gb_acc
+        # the one collective family: reduce the sample shards over ICI.
         radiance = jax.lax.psum(radiance, "sample") / cfg.spp
-        return radiance
+        out = (radiance,)
+        if prime_local is not None:
+            # any sample shard's hints are exact (verified-never-trusted);
+            # pmax picks a valid one (-1 = none) without extra traffic
+            out = out + (jax.lax.pmax(prime_out, "sample"),)
+        if want_gb:
+            gbuf = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, "sample"), gbuf)
+            if cfg.spp_batch and local_spp > 1:
+                # batched: features already one winner; moments are sums
+                gbuf = dict(gbuf, m1=gbuf["m1"] / cfg.spp,
+                            m2=gbuf["m2"] / cfg.spp)
+            else:
+                # loop: every field is a sum over all spp samples
+                gbuf = {k: v / cfg.spp for k, v in gbuf.items()}
+            out = out + (gbuf,)
+        return out
 
+    out_specs = (P("tile"),)
+    if prime_lane is not None:
+        out_specs = out_specs + (P("tile"),)
+    if want_gb:
+        out_specs = out_specs + ({k: P("tile") for k in
+                                  ("normal", "depth", "albedo",
+                                   "m1", "m2")},)
     # check_vma=False: the integrator's scan/while carries initialize
     # from constants (jnp.full), which the varying-manual-axes checker
     # rejects under shard_map even though the program is correct (the
@@ -138,12 +214,32 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P("tile"), P()),
-        out_specs=P("tile"),
+        in_specs=(P(), P(), P(), P("tile"), P(),
+                  P("tile") if prime_lane is not None else P()),
+        out_specs=out_specs,
         check_vma=False,
-    )(scene, cam, frame_idx, pixel_ids, inv_perm)
-    # shards return lane-order radiance; one global scatter un-swizzles
+    )(scene, cam, frame_idx, pixel_ids, inv_perm, prime_lane)
+    # shards return lane-order arrays; one global scatter un-swizzles
     # back to row-major (identity when no swizzle applied).
     img = jnp.zeros((n_pix, 3), jnp.float32).at[pixel_ids].set(
-        sharded, unique_indices=True)
-    return img.reshape(h, w, 3)
+        sharded[0], unique_indices=True)
+    img = img.reshape(h, w, 3)
+    if not return_aux:
+        return img
+    k = 1
+    prime_out = None
+    gbuf = None
+    if prime_lane is not None:
+        prime_out = jnp.zeros((n_pix, 3), jnp.int32).at[pixel_ids].set(
+            sharded[k], unique_indices=True)
+        k += 1
+    if want_gb:
+        gb_lane = sharded[k]
+        unswz = lambda a: jnp.zeros(  # noqa: E731
+            (n_pix,) + a.shape[1:], a.dtype).at[pixel_ids].set(
+                a, unique_indices=True)
+        gbuf = {kk: unswz(v) for kk, v in gb_lane.items()}
+        # display expects the SVGF moments in image layout (render.py)
+        gbuf["m1"] = gbuf["m1"].reshape(h, w)
+        gbuf["m2"] = gbuf["m2"].reshape(h, w)
+    return img, prime_out, gbuf

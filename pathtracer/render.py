@@ -368,8 +368,8 @@ class Renderer:
         self.camera = camera or cam_mod.Camera()
         # Optional jax.sharding.Mesh: frames render via shard_map over a
         # (tile, sample) device mesh (parallel/sharding.py). Priming and
-        # the G-buffer/denoiser are single-chip-only for now; the sharded
-        # step skips them (accumulation itself stays exact).
+        # the G-buffer/denoiser compose: hints and G-buffer rows shard
+        # on the tile axis in lane order (render_frame_sharded).
         self.mesh = mesh
         self.film = film_mod.new_film(cfg.width, cfg.height)
         # primary-hit prediction chained across frames (cfg.primary_priming)
@@ -398,9 +398,28 @@ class Renderer:
         if self.mesh is not None:
             from pathtracer.parallel import sharding
 
-            radiance = sharding.render_frame_sharded(
+            want_gb = self.cfg.denoise and self.cfg.max_depth > 1
+            priming = (self.cfg.primary_priming
+                       and self.cfg.intersector == "cluster")
+            if priming and self._prime is None:
+                self._prime = jnp.full(
+                    (self.cfg.width * self.cfg.height, 3), -1, jnp.int32)
+            out = sharding.render_frame_sharded(
                 self.scene, self.cfg, self.camera.state(),
-                self.film.frame.astype(jnp.uint32), self.mesh)
+                self.film.frame.astype(jnp.uint32), self.mesh,
+                prime=self._prime if priming else None,
+                gbuffer=want_gb, return_aux=True)
+            radiance, prime_o, gb = out
+            if priming:
+                self._prime = prime_o
+            if want_gb and gb is not None:
+                if self._gbuf is None:
+                    self._gbuf = gb
+                else:
+                    k = self._gbuf_frames
+                    self._gbuf = {n: (v * k + gb[n]) / (k + 1)
+                                  for n, v in self._gbuf.items()}
+                self._gbuf_frames += 1
             self.film = film_mod.accumulate(self.film, radiance)
             return self.film
         want_gb = self.cfg.denoise and self.cfg.max_depth > 1

@@ -102,3 +102,68 @@ def test_sharded_spp_batch_matches_loop(setup):
     np.testing.assert_allclose(batched, loop, rtol=1e-4, atol=1e-5)
     single = np.asarray(render_frame(scene, cfg4, cam.state(), 0))
     np.testing.assert_allclose(batched, single, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def cluster_setup():
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.scene.build import MaterialDesc
+    from pathtracer.scene.procedural import icosphere
+
+    b = cornell_box()
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    scene = build_scene_clusters(b.finalize())
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       intersector="cluster")
+    return scene, cam, cfg
+
+
+def test_sharded_priming_exact(cluster_setup):
+    """Priming on the mesh is exact AND records hints (VERDICT r3 item 9:
+    hints shard on the tile axis in lane order)."""
+    import dataclasses
+
+    from pathtracer.render import Renderer
+
+    scene, cam, cfg = cluster_setup
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)
+    cfg_p = dataclasses.replace(cfg, primary_priming=True)
+    rb = Renderer(scene, cfg, cam, mesh=mesh)
+    rp = Renderer(scene, cfg_p, cam, mesh=mesh)
+    rb.camera.moved = rp.camera.moved = False
+    for _ in range(2):   # frame 2 is primed by frame 1's hints
+        fb, fp = rb.step(), rp.step()
+    np.testing.assert_allclose(np.asarray(fp.accum), np.asarray(fb.accum),
+                               rtol=1e-5, atol=1e-6)
+    assert rp._prime is not None
+    assert int(jnp.max(rp._prime[:, 0])) >= 0   # primary hits recorded
+    assert int(jnp.max(rp._prime[:, 1])) >= 0   # shadow blockers found
+
+
+def test_sharded_gbuffer_matches_single_chip(cluster_setup):
+    """The sharded G-buffer (loop branch: per-field spp sums) matches the
+    single-chip one; the denoised display runs end to end on the mesh."""
+    import dataclasses
+
+    from pathtracer.render import Renderer
+
+    scene, cam, cfg = cluster_setup
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)
+    cfg_d = dataclasses.replace(cfg, denoise=True)
+    rs = Renderer(scene, cfg_d, cam, mesh=mesh)
+    r1 = Renderer(scene, cfg_d, cam)
+    rs.camera.moved = r1.camera.moved = False
+    rs.step(), r1.step()
+    assert rs._gbuf is not None and r1._gbuf is not None
+    for k in ("normal", "depth", "albedo", "m1", "m2"):
+        a, b = np.asarray(rs._gbuf[k]), np.asarray(r1._gbuf[k])
+        assert a.shape == b.shape, k
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(rs.display()),
+                               np.asarray(r1.display()),
+                               rtol=1e-4, atol=1e-5)
