@@ -90,7 +90,12 @@ def main():
                        # PERF.md 0.31) on top of x1.49 fewer bounce
                        # columns/ray off-chip (0.27) - default ON
                        spp_batch=os.environ.get(
-                           "BENCH_SPP_BATCH", "1") != "0")
+                           "BENCH_SPP_BATCH", "1") != "0",
+                       # cross-frame sample batching (cfg.frame_batch):
+                       # BENCH_FRAME_BATCH frames' spp pools as one
+                       # wavefront (default 1; A/B knob for the S=8 pool)
+                       frame_batch=int(os.environ.get(
+                           "BENCH_FRAME_BATCH", "1")))
     cam = Camera(position=(3.0, 4.5, 6.0))
     cam.look_at((14.0, 3.0, 6.0))
 
@@ -130,6 +135,19 @@ def main():
     detail["rays_per_frame"] = result.rays_per_frame
     detail["window_ms"] = [round(w, 1) for w in result.window_ms]
     detail["ms_std"] = round(result.ms_std, 1)
+
+    # attach the latest full-config sweep (benchmarks/run_configs.py
+    # --out benchmarks/results/configs_latest.json) so the driver's
+    # BENCH_r*.json carries all 5 BASELINE configs, not just the headline
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "results",
+                            "configs_latest.json")
+    if os.path.exists(cfg_path):
+        try:
+            with open(cfg_path) as f:
+                detail["configs_sweep"] = json.load(f)
+        except (OSError, ValueError):
+            pass
 
     baseline = 300.0  # Mrays/s/chip north-star (BASELINE.json)
     print(json.dumps({

@@ -100,8 +100,14 @@ def main():
             pad = nb * b - c
             f = np.pad(fin, ((0, 0), (0, pad))) if pad else fin
             blk = f.reshape(nt, nb, b).any(axis=2)
+            cnt = blk.sum(axis=1)           # surviving blocks per tile
             print(f"[{label}] block={b:4d}: blocks hit {blk.mean():.3f}"
-                  f"  (skip {1 - blk.mean():.1%})", flush=True)
+                  f"  (skip {1 - blk.mean():.1%})  per-tile survivors of "
+                  f"{nb}: mean {cnt.mean():.1f} p50 "
+                  f"{np.percentile(cnt, 50):.0f} p90 "
+                  f"{np.percentile(cnt, 90):.0f} p99 "
+                  f"{np.percentile(cnt, 99):.0f} max {cnt.max()}",
+                  flush=True)
         print(f"[{label}] finite clusters/tile mean {fin.sum(1).mean():.1f}",
               flush=True)
 

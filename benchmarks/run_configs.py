@@ -149,6 +149,11 @@ def main(argv=None):
     ap.add_argument("--write-goldens", action="store_true",
                     help="(re)write tests/goldens/config_N_64.npz instead "
                          "of checking")
+    ap.add_argument("--out", default=None, metavar="JSON",
+                    help="also write the per-config results as one JSON "
+                         "file (benchmarks/results/configs_latest.json is "
+                         "picked up by bench.py's detail dict, so the "
+                         "driver's BENCH_r*.json captures all 5 configs)")
     args = ap.parse_args(argv)
 
     if os.environ.get("PT_PLATFORM"):     # off-chip smoke runs (app.py:37)
@@ -160,6 +165,7 @@ def main(argv=None):
     from pathtracer.bench.harness import bench_scene
 
     wanted = {int(x) for x in args.configs.split(",")}
+    results = []
     for i, (name, scene_fn, cfg, camera) in enumerate(
             build_configs(args.scale), start=1):
         if i not in wanted:
@@ -186,6 +192,16 @@ def main(argv=None):
                                             else round(rmse, 6))
             out["accuracy_ok"] = ok
         print(json.dumps(out), flush=True)
+        results.append(out)
+    if args.out and results:
+        import datetime
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"date": datetime.date.today().isoformat(),
+                       "scale": args.scale, "frames": args.frames,
+                       "configs": results}, f, indent=1)
     return 0
 
 

@@ -157,7 +157,16 @@ def main(argv=None):
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--max-depth", type=int, default=6)
-    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=8,
+                    help="progressive steps to render (with --frame-batch "
+                         "F each step covers F frames)")
+    ap.add_argument("--spp-batch", action="store_true",
+                    help="trace all spp samples as one wavefront "
+                         "(cfg.spp_batch; bigger coherence-sort pool)")
+    ap.add_argument("--frame-batch", type=int, default=1, metavar="F",
+                    help="fold F progressive frames' spp pools into one "
+                         "wavefront per step (implies --spp-batch; "
+                         "identical estimator, same sample set)")
     ap.add_argument("--sky", default="gradient",
                     choices=["gradient", "black", "hosek", "envmap"])
     ap.add_argument("--envmap", default=None,
@@ -214,7 +223,9 @@ def main(argv=None):
                        intersector=args.intersector,
                        traversal_backend=args.traversal_backend,
                        primary_priming=args.priming,
-                       denoise=args.denoise)
+                       denoise=args.denoise,
+                       spp_batch=args.spp_batch or args.frame_batch > 1,
+                       frame_batch=args.frame_batch)
     mesh = None
     if args.mesh:
         from pathtracer.parallel.sharding import make_mesh

@@ -59,13 +59,31 @@ class BenchResult:
         }
 
 
+def _step(scene, cfg, cam, frame_idx, prime):
+    """One timed render step: F=cfg.frame_batch frames' samples at once."""
+    F = cfg.frame_batch
+    if F > 1:
+        from pathtracer.render import render_frame_batched
+
+        priming = cfg.primary_priming and cfg.intersector == "cluster"
+        img, rays, prime_o, _ = render_frame_batched(
+            scene, cfg, cam, frame_idx, prime=prime, primed=priming,
+            frames=F)
+        return img, rays, (prime_o if priming else prime)
+    return render_frame_with_stats(scene, cfg, cam, frame_idx, prime, True)
+
+
 def _frame_times(scene, cfg, cam, start, frames, prime):
-    """Render `frames` frames, host-syncing each; per-frame (dt, rays)."""
+    """Render `frames` steps, host-syncing each; per-step (dt, rays).
+
+    With cfg.frame_batch=F each step covers F progressive frames (the
+    frame index advances by F); _result renormalizes to per-frame stats.
+    """
     times, rays_seen = [], []
     for i in range(frames):
         t0 = time.perf_counter()
-        img, rays, prime = render_frame_with_stats(
-            scene, cfg, cam, start + i, prime, True)
+        img, rays, prime = _step(scene, cfg, cam,
+                                 start + i * cfg.frame_batch, prime)
         r = float(rays)            # blocks on the scalar; frame-granular
         times.append(time.perf_counter() - t0)
         rays_seen.append(r)
@@ -83,7 +101,12 @@ def _result(times, rays_seen, cfg, windows):
         if b > a:
             win_ms.append(sum(times[a:b]) / (b - a) * 1e3)
     med_ms = statistics.median(win_ms)
-    rays_pf = sum(rays_seen) / n
+    # frame_batch steps cover F frames each: renormalize to per-frame
+    F = cfg.frame_batch
+    if F > 1:
+        win_ms = [wm / F for wm in win_ms]
+        med_ms = med_ms / F
+    rays_pf = sum(rays_seen) / n / F
     return BenchResult(
         mrays_per_sec=rays_pf / med_ms / 1e3,
         ms_per_frame=med_ms,
@@ -110,12 +133,13 @@ def bench_scene(scene: Scene, cfg: RenderConfig, camera: Camera,
 
     prime = None   # priming hints chain across frames (Renderer.step)
     for i in range(warmup):
-        img, rays, prime = render_frame_with_stats(scene, cfg, cam, i,
-                                                   prime, True)
+        img, rays, prime = _step(scene, cfg, cam, i * cfg.frame_batch,
+                                 prime)
         float(rays)                    # full sync: flush first-run effects
     jax.block_until_ready(img)
 
-    times, rays_seen, _ = _frame_times(scene, cfg, cam, warmup, frames,
+    times, rays_seen, _ = _frame_times(scene, cfg, cam,
+                                       warmup * cfg.frame_batch, frames,
                                        prime)
     return _result(times, rays_seen, cfg, windows)
 
@@ -136,8 +160,8 @@ def bench_interleaved(scenes: Dict[str, Scene], cfg: RenderConfig,
     for lab in labels:                       # compile + flush each leg
         prime = None
         for i in range(warmup):
-            img, rays, prime = render_frame_with_stats(
-                scenes[lab], cfg, cam, i, prime, True)
+            img, rays, prime = _step(scenes[lab], cfg, cam,
+                                     i * cfg.frame_batch, prime)
             float(rays)
         jax.block_until_ready(img)
         primes[lab] = prime
@@ -151,7 +175,8 @@ def bench_interleaved(scenes: Dict[str, Scene], cfg: RenderConfig,
             continue
         for lab in labels:
             t, r, primes[lab] = _frame_times(
-                scenes[lab], cfg, cam, warmup + a, b - a, primes[lab])
+                scenes[lab], cfg, cam, (warmup + a) * cfg.frame_batch,
+                b - a, primes[lab])
             times[lab] += t
             rays_seen[lab] += r
     return {lab: _result(times[lab], rays_seen[lab], cfg, windows)

@@ -113,6 +113,14 @@ class RenderConfig:
     # enable it at spp <= 4.
     spp_batch: bool = False
 
+    # Cross-FRAME sample batching: render this many progressive frames'
+    # spp pools as ONE wavefront (requires spp_batch). The estimator is
+    # the identical sample set (RNG keys on frame*spp + s either way);
+    # the film folds all frame_batch frame-means in one accumulate step.
+    # Pool growth is the one measured lever on packet stop-tail waste
+    # (joint-sort columns: x1.49 at 4 lanes/pixel vs 1 - PERF.md 0.27).
+    frame_batch: int = 1
+
     # BENCH-ONLY: drop the NEE stage entirely (changes the estimator!).
     # Used by benchmarks/depth_attrib.py + env_ab.py to attribute the
     # shadow-ray cost within real frames. Never set in production.
@@ -167,6 +175,12 @@ class RenderConfig:
                 f"unknown traversal backend: {self.traversal_backend!r}")
         if self.sampler not in ("pcg", "sobol"):
             raise ValueError(f"unknown sampler: {self.sampler!r}")
+        if self.frame_batch < 1:
+            raise ValueError("frame_batch must be >= 1")
+        if self.frame_batch > 1 and not self.spp_batch:
+            raise ValueError("frame_batch > 1 requires spp_batch "
+                             "(the cross-frame pool IS the batched "
+                             "wavefront)")
 
     @property
     def n_pixels(self) -> int:

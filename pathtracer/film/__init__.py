@@ -1,6 +1,7 @@
 from pathtracer.film.film import (
     Film,
     accumulate,
+    accumulate_many,
     new_film,
     rmse,
     save_checkpoint,
@@ -11,6 +12,6 @@ from pathtracer.film.film import (
 )
 
 __all__ = [
-    "Film", "accumulate", "new_film", "rmse", "save_checkpoint",
+    "Film", "accumulate", "accumulate_many", "new_film", "rmse", "save_checkpoint",
     "load_checkpoint", "to_display", "write_png", "read_png",
 ]

@@ -49,6 +49,20 @@ def accumulate(film: Film, frame_radiance: jnp.ndarray) -> Film:
     return Film(accum=accum, frame=film.frame + 1)
 
 
+def accumulate_many(film: Film, radiance_sum: jnp.ndarray, k) -> Film:
+    """Fold k frames' summed radiance in ONE step (cfg.frame_batch).
+
+    Algebraically identical to k accumulate() calls with the k frame
+    means: (accum*f + sum_k) / (f+k) - the recurrence telescopes, so
+    cross-frame batched rendering accumulates exactly (up to float
+    association) what the per-frame loop would.
+    """
+    f = film.frame.astype(jnp.float32)
+    kf = jnp.float32(k)
+    accum = (film.accum * f + radiance_sum) / (f + kf)
+    return Film(accum=accum, frame=film.frame + jnp.int32(k))
+
+
 def reset(film: Film) -> Film:
     """Accumulation reset on camera move (main.cpp:678-681 semantics)."""
     return Film(accum=jnp.zeros_like(film.accum), frame=jnp.zeros_like(film.frame))

@@ -211,47 +211,6 @@ def _first_cluster(accel: ClusterAccel, o, d):
             jnp.concatenate([x[1] for x in outs]))
 
 
-def _first_cluster_coarse(accel: ClusterAccel, o, d, g: int):
-    """Per-ray nearest coarse GROUP id + entry over g-grouped union AABBs.
-
-    The firstcluster key wins big on columns (x1.5 shadow0 / x1.10
-    bounce1, benchmarks/key_t_probe.py) but its full [n, C] argmin pass
-    priced it out on chip (PERF.md 0.31). Grouping g SAH-order-consecutive
-    clusters into union AABBs cuts the pass g-fold; the group id keeps
-    nearly all the key's grouping power because SAH order is spatial.
-    Returns (group_id i32[n], entry f32[n]); parked rays get (0, inf).
-    """
-    c = accel.aabb_lo.shape[0]
-    pad = (-c) % g
-    alo, ahi = accel.aabb_lo, accel.aabb_hi
-    if pad:
-        alo = jnp.concatenate([alo, jnp.full((pad, 3), 1e30, jnp.float32)])
-        ahi = jnp.concatenate([ahi, jnp.full((pad, 3), -1e30, jnp.float32)])
-    glo = jnp.min(alo.reshape(-1, g, 3), axis=1)
-    ghi = jnp.max(ahi.reshape(-1, g, 3), axis=1)
-
-    def block(o, d):
-        m = o.shape[0]
-        inv = _safe_inv(d)
-        t1 = (glo[None] - o[:, None, :]) * inv[:, None, :]
-        t2 = (ghi[None] - o[:, None, :]) * inv[:, None, :]
-        tn = jnp.max(jnp.minimum(t1, t2), axis=-1)
-        tf = jnp.min(jnp.maximum(t1, t2), axis=-1)
-        tn = jnp.where((tf >= jnp.maximum(tn, 0.0)) & (tf > 0.0),
-                       jnp.maximum(tn, 0.0), jnp.inf)
-        j = jnp.argmin(tn, axis=1).astype(jnp.int32)
-        return j, tn[jnp.arange(m), j]
-
-    n = o.shape[0]
-    if n <= FIRSTCLUSTER_RAY_BLOCK:
-        return block(o, d)
-    outs = [block(o[r0:r0 + FIRSTCLUSTER_RAY_BLOCK],
-                  d[r0:r0 + FIRSTCLUSTER_RAY_BLOCK])
-            for r0 in range(0, n, FIRSTCLUSTER_RAY_BLOCK)]
-    return (jnp.concatenate([x[0] for x in outs]),
-            jnp.concatenate([x[1] for x in outs]))
-
-
 def _coherence_key(accel: ClusterAccel, o, d, dir_bits: int = None,
                    scheme: str = None):
     """u32 coherence key per ray: direction bin + origin Morton.
@@ -294,19 +253,6 @@ def _coherence_key(accel: ClusterAccel, o, d, dir_bits: int = None,
     scheme = scheme or os.environ.get("PT_KEY_SCHEME", "dirmajor")
     if scheme == "mixed" and dir_bits >= 2:
         key = _mixed_key(m, 30, d, dir_bits)
-    elif scheme.startswith("fcc"):
-        # Coarse first-GROUP major (g clusters per union AABB), then the
-        # direction bin, then origin-Morton detail. Same grouping power
-        # as firstcluster at ~1/g the key-pass cost (key_t_probe.py);
-        # PT_FCC_GROUP / the scheme suffix ("fcc16") set g.
-        g = int(scheme[3:] or os.environ.get("PT_FCC_GROUP", "16"))
-        fg, _ = _first_cluster_coarse(accel, o, d, g)
-        ng = -(-accel.aabb_lo.shape[0] // g)
-        cb = max(1, int(ng - 1).bit_length())
-        rest = max(0, 32 - cb - db)
-        key = ((fg.astype(jnp.uint32) << jnp.uint32(32 - cb))
-               | (dbin << jnp.uint32(rest))
-               | (m >> jnp.uint32(30 - rest if rest < 30 else 0)))
     elif scheme == "firstcluster":
         # Key on the ray's own schedule PREFIX: rays sharing their first
         # visited cluster tile together (directly optimizes near-schedule

@@ -54,11 +54,12 @@ def make_mesh(devices: Optional[Sequence] = None,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "mesh", "gbuffer", "return_aux"))
+                   static_argnames=("cfg", "mesh", "gbuffer", "return_aux",
+                                    "frames"))
 def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                          cam: cam_mod.CameraState, frame_idx,
                          mesh: Mesh, prime=None, gbuffer: bool = False,
-                         return_aux: bool = False):
+                         return_aux: bool = False, frames: int = 1):
     """Render one frame across the mesh. Returns radiance f32[H, W, 3].
 
     Bit-compatible with the single-chip `render_frame`: the counter-based
@@ -112,17 +113,24 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
         lane_rows = jnp.arange(m, dtype=jnp.int32)
         prime_out = None
         gbuf = None
-        if cfg.spp_batch and local_spp > 1:
+        if cfg.spp_batch and local_spp * frames > 1:
             # spp-batched shard wavefront (cfg.spp_batch, PERF.md 0.27):
-            # the shard's local_spp samples trace as ONE wavefront so
-            # the coherence sort pools them - the same x1.49 bounce
-            # column win as single-chip render_frame_batched, per shard.
-            # RNG keys are (pixel, global sample) either way, so the
-            # estimate matches the loop up to float summation order.
-            pix_b = jnp.tile(pixel_ids_local, local_spp)
-            sample_ids = (frame_idx * cfg.spp + s_rank * local_spp
-                          + jnp.repeat(
-                              jnp.arange(local_spp, dtype=jnp.uint32), m))
+            # the shard's local_spp samples (x frames frames, with
+            # cfg.frame_batch) trace as ONE wavefront so the coherence
+            # sort pools them - the same x1.49 bounce column win as
+            # single-chip render_frame_batched, per shard. RNG keys are
+            # (pixel, global sample) either way, so the estimate matches
+            # the loop up to float summation order.
+            lanes_pp = local_spp * frames
+            pix_b = jnp.tile(pixel_ids_local, lanes_pp)
+            # frame f's shard samples: (frame_idx+f)*spp + s_rank*local_spp
+            # + [0, local_spp) - each repeated per pixel
+            sids = (frame_idx * cfg.spp + s_rank * local_spp
+                    + (jnp.arange(frames, dtype=jnp.uint32)[:, None]
+                       * jnp.uint32(cfg.spp)
+                       + jnp.arange(local_spp, dtype=jnp.uint32)[None, :]
+                       ).reshape(-1))
+            sample_ids = jnp.repeat(sids, m)
             o, d = cam_mod.generate_primary_rays(
                 cam, w, h, cfg.fov_deg, pix_b, sample_ids, cfg.seed,
                 cfg.sampler)
@@ -130,7 +138,7 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                 scene, cfg, o, d, pix_b, sample_ids,
                 intersect_fn, occluded_fn, prime=prime_local,
                 want_gbuffer=want_gb, n_pixels=m,
-                local_pix=jnp.tile(lane_rows, local_spp))
+                local_pix=jnp.tile(lane_rows, lanes_pp))
             local = inv_perm[pix_out] - offset
             radiance = radiance.at[local].add(r)   # spp duplicates: ADD
             prime_out = prime_o

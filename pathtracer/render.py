@@ -214,35 +214,42 @@ def render_sample_gbuffer(scene: Scene, cfg: RenderConfig,
     return img, rays, gbuf
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "gbuffer", "primed"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "gbuffer", "primed", "frames"))
 def render_frame_batched(scene: Scene, cfg: RenderConfig,
                          cam: cam_mod.CameraState, frame_idx,
                          prime=None, gbuffer: bool = False,
-                         primed: bool = False):
-    """Render ALL cfg.spp samples of a frame as ONE wavefront.
+                         primed: bool = False, frames: int = 1):
+    """Render ALL cfg.spp samples of `frames` frames as ONE wavefront.
 
-    spp * W * H lanes traced together (cfg.spp_batch): the coherence
-    sort pools every sample's rays, which measures x1.49 fewer bounce
-    sweep columns per ray at 4 spp (docs/PERF.md 0.27). The estimator
-    is IDENTICAL to the per-sample loop - the RNG keys every draw on
-    (pixel, frame*spp + s, depth, use) either way - only float
-    summation order differs. Returns (mean radiance f32[H, W, 3], rays,
-    prime_out, gbuf) with gbuf carrying SVGF moments m1/m2 when
-    gbuffer=True.
+    spp * frames * W * H lanes traced together (cfg.spp_batch /
+    cfg.frame_batch): the coherence sort pools every sample's rays,
+    which measures x1.49 fewer bounce sweep columns per ray at 4 spp
+    (docs/PERF.md 0.27), and the cross-frame pool extends that growth
+    past the per-frame spp. The estimator is IDENTICAL to the per-sample
+    loop - the RNG keys every draw on (pixel, frame*spp + s, depth, use)
+    either way, and `frames` consecutive frames' sample indices are the
+    contiguous range frame_idx*spp + [0, spp*frames) - only float
+    summation order differs. Returns (SUM of the frames' mean radiance
+    f32[H, W, 3] - accumulate with film.accumulate_many(..., frames) -
+    rays, prime_out, gbuf) with gbuf carrying SVGF moments m1/m2 when
+    gbuffer=True (also summed over frames; weight by `frames` in
+    running means).
     """
     intersect_fn, occluded_fn = make_intersectors(scene, cfg)
     w, h = cfg.width, cfg.height
     n = w * h
     spp = cfg.spp
+    spp_eff = spp * frames
     swizzled = _swizzled_pixel_ids(w, h)
     base_pix = (swizzled if swizzled is not None
                 else jnp.arange(n, dtype=jnp.int32))
     # sample-major lane order: s-th segment keeps the swizzled 8x8
     # pixel-block structure, so primary tiles stay compact screen squares
-    pixel_ids = jnp.tile(base_pix, spp)
+    pixel_ids = jnp.tile(base_pix, spp_eff)
     frame_idx = jnp.asarray(frame_idx, jnp.uint32)
     sample_ids = (frame_idx * spp
-                  + jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n))
+                  + jnp.repeat(jnp.arange(spp_eff, dtype=jnp.uint32), n))
     o, d = cam_mod.generate_primary_rays(
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed,
         cfg.sampler)
@@ -252,7 +259,8 @@ def render_frame_batched(scene: Scene, cfg: RenderConfig,
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn,
         occluded_fn, prime=prime if primed else None,
         want_gbuffer=gbuffer, n_pixels=n)
-    # spp lanes share a pixel: scatter-ADD, then the mean
+    # spp lanes share a pixel: scatter-ADD; /spp makes the per-frame
+    # MEAN (summed over `frames` frames)
     img = jnp.zeros((n, 3), jnp.float32).at[pix_out].add(radiance) / spp
     if gbuffer and gbuf is not None:
         # SVGF moments in (h, w) image layout, matching the spp loop
@@ -404,25 +412,54 @@ class Renderer:
             if priming and self._prime is None:
                 self._prime = jnp.full(
                     (self.cfg.width * self.cfg.height, 3), -1, jnp.int32)
+            F = self.cfg.frame_batch
             out = sharding.render_frame_sharded(
                 self.scene, self.cfg, self.camera.state(),
                 self.film.frame.astype(jnp.uint32), self.mesh,
                 prime=self._prime if priming else None,
-                gbuffer=want_gb, return_aux=True)
+                gbuffer=want_gb, return_aux=True, frames=F)
             radiance, prime_o, gb = out
             if priming:
                 self._prime = prime_o
             if want_gb and gb is not None:
+                gb = dict(gb, m1=gb["m1"] / F, m2=gb["m2"] / F)
                 if self._gbuf is None:
                     self._gbuf = gb
                 else:
                     k = self._gbuf_frames
-                    self._gbuf = {n: (v * k + gb[n]) / (k + 1)
+                    self._gbuf = {n: (v * k + gb[n] * F) / (k + F)
                                   for n, v in self._gbuf.items()}
-                self._gbuf_frames += 1
-            self.film = film_mod.accumulate(self.film, radiance)
+                self._gbuf_frames += F
+            self.film = film_mod.accumulate_many(self.film, radiance, F)
             return self.film
         want_gb = self.cfg.denoise and self.cfg.max_depth > 1
+        if self.cfg.frame_batch > 1:
+            # cross-frame batched step: frame_batch frames' spp pools as
+            # ONE wavefront; the film folds all their means at once
+            F = self.cfg.frame_batch
+            priming = (self.cfg.primary_priming
+                       and self.cfg.intersector == "cluster")
+            radiance_sum, _, prime_o, gb = render_frame_batched(
+                self.scene, self.cfg, self.camera.state(),
+                self.film.frame.astype(jnp.uint32),
+                prime=self._prime if priming else None,
+                gbuffer=want_gb, primed=priming, frames=F)
+            if priming:
+                self._prime = prime_o
+            if want_gb and gb is not None:
+                # moments come back SUMMED over the F frames; features
+                # (normal/depth/albedo) are one primary winner's values
+                gb = dict(gb, m1=gb["m1"] / F, m2=gb["m2"] / F)
+                if self._gbuf is None:
+                    self._gbuf = gb
+                else:
+                    k = self._gbuf_frames
+                    self._gbuf = {n: (v * k + gb[n] * F) / (k + F)
+                                  for n, v in self._gbuf.items()}
+                self._gbuf_frames += F
+            self.film = film_mod.accumulate_many(self.film, radiance_sum,
+                                                 F)
+            return self.film
         out = render_frame_with_stats(
             self.scene, self.cfg, self.camera.state(),
             self.film.frame.astype(jnp.uint32), prime=self._prime,

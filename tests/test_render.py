@@ -310,3 +310,43 @@ def test_spp_batched_frame_matches_loop():
     hit_px = np.isfinite(dep)
     assert (np.linalg.norm(nrm[hit_px], axis=1) > 0.9).all()
     assert (np.linalg.norm(nrm[~hit_px], axis=1) < 1e-6).all()
+
+
+def test_frame_batched_matches_progressive_loop():
+    """cfg.frame_batch folds F frames' spp pools into ONE wavefront; the
+    film after one batched step must match F per-frame steps (identical
+    sample set - RNG keys on frame*spp + s either way), with and without
+    verified priming, and the ray counters must agree."""
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import Renderer
+
+    b = cornell_box()
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    scene = build_scene_clusters(b.finalize())
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    base_cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                            intersector="cluster", spp_batch=True)
+    for priming in (False, True):
+        cfg = dataclasses.replace(base_cfg, primary_priming=priming)
+        cfg_f = dataclasses.replace(cfg, frame_batch=2)
+        r1 = Renderer(scene, cfg, cam)
+        r2 = Renderer(scene, cfg_f, cam)
+        r1.camera.moved = r2.camera.moved = False
+        r1.step(), r1.step()
+        r2.step()
+        assert int(r1.film.frame) == int(r2.film.frame) == 2
+        np.testing.assert_allclose(np.asarray(r2.film.accum),
+                                   np.asarray(r1.film.accum),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"priming={priming}")
+        if priming:
+            assert r2._prime is not None
+            assert int(jnp.max(r2._prime[:, 0])) >= 0
+
+
+def test_frame_batch_requires_spp_batch():
+    with pytest.raises(ValueError):
+        RenderConfig(width=8, height=8, spp=1, frame_batch=2)

@@ -167,3 +167,32 @@ def test_sharded_gbuffer_matches_single_chip(cluster_setup):
     np.testing.assert_allclose(np.asarray(rs.display()),
                                np.asarray(r1.display()),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_frame_batch_matches_progressive(cluster_setup):
+    """frames=F on the mesh: one batched sharded step == F sharded
+    steps' accumulation (cfg.frame_batch across the sample shards)."""
+    import dataclasses
+
+    from pathtracer.render import Renderer
+
+    scene, cam, cfg = cluster_setup
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)
+    cfg_b = dataclasses.replace(cfg, spp_batch=True)
+    cfg_f = dataclasses.replace(cfg_b, frame_batch=2)
+    r1 = Renderer(scene, cfg_b, cam, mesh=mesh)
+    r2 = Renderer(scene, cfg_f, cam, mesh=mesh)
+    r1.camera.moved = r2.camera.moved = False
+    r1.step(), r1.step()
+    r2.step()
+    assert int(r1.film.frame) == int(r2.film.frame) == 2
+    np.testing.assert_allclose(np.asarray(r2.film.accum),
+                               np.asarray(r1.film.accum),
+                               rtol=1e-4, atol=1e-5)
+    # and the sharded batched step matches the single-chip batched step
+    r3 = Renderer(scene, cfg_f, cam)
+    r3.camera.moved = False
+    r3.step()
+    np.testing.assert_allclose(np.asarray(r2.film.accum),
+                               np.asarray(r3.film.accum),
+                               rtol=1e-4, atol=1e-5)
