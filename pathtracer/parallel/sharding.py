@@ -214,18 +214,18 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
         out_specs = out_specs + ({k: P("tile") for k in
                                   ("normal", "depth", "albedo",
                                    "m1", "m2")},)
-    # check_vma=False: the integrator's scan/while carries initialize
-    # from constants (jnp.full), which the varying-manual-axes checker
-    # rejects under shard_map even though the program is correct (the
-    # only collective is the psum below). Disabling the static check is
-    # the supported escape hatch; layout-invariance tests pin semantics.
+    # check_vma=True (re-enabled round 4, r3-verdict item 8): every loop
+    # carry in the integrator and the packet kernels now derives its
+    # varying axes from the shard-varying ray arrays (the _like trick,
+    # kernels/traverse.py / path.py "Carry inits"), so the static
+    # varying-manual-axes checker passes without exceptions.
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(P(), P(), P(), P("tile"), P(),
                   P("tile") if prime_lane is not None else P()),
         out_specs=out_specs,
-        check_vma=False,
+        check_vma=True,
     )(scene, cam, frame_idx, pixel_ids, inv_perm, prime_lane)
     # shards return lane-order arrays; one global scatter un-swizzles
     # back to row-major (identity when no swizzle applied).
