@@ -215,7 +215,59 @@ def render_sample_gbuffer(scene: Scene, cfg: RenderConfig,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "gbuffer", "primed", "frames"))
+                   static_argnames=("cfg", "gbuffer", "primed", "spp_eff",
+                                    "split"))
+def _trace_pool_part(scene: Scene, cfg: RenderConfig,
+                     cam: cam_mod.CameraState, frame_idx, pix_part,
+                     prime_part, spp_eff: int, gbuffer: bool,
+                     primed: bool, split: bool):
+    """Trace ALL spp_eff samples of one spatial pixel part as a wavefront.
+
+    The jitted inner of render_frame_batched: one part = one XLA program,
+    so multi-part pools never coexist in HBM. Returns the part's pixel-
+    scattered radiance SUM [m, 3] in part-row order (split=True) or
+    pixel order (single part), rays, hints and G-buffer rows.
+    """
+    w, h = cfg.width, cfg.height
+    m = pix_part.shape[0]
+    intersect_fn, occluded_fn = make_intersectors(scene, cfg)
+    spp = cfg.spp
+    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
+    # sample-major lane order: s-th segment keeps the swizzled 8x8
+    # pixel-block structure, so primary tiles stay compact screen squares
+    pixel_ids = jnp.tile(pix_part, spp_eff)
+    sample_ids = (frame_idx * spp
+                  + jnp.repeat(jnp.arange(spp_eff, dtype=jnp.uint32), m))
+    o, d = cam_mod.generate_primary_rays(
+        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed,
+        cfg.sampler)
+    local = (jnp.tile(jnp.arange(m, dtype=jnp.int32), spp_eff)
+             if split else None)
+    radiance, pix_out, rays, prime_p, gbuf_p = path_mod.trace_paths(
+        scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn,
+        occluded_fn, prime=prime_part if primed else None,
+        want_gbuffer=gbuffer, n_pixels=m, local_pix=local)
+    # spp lanes share a pixel: scatter-ADD (caller divides by spp).
+    # Lanes may return permuted (cfg.wavefront_sort), so the part row
+    # derives from the returned GLOBAL pixel ids via the inverse part
+    # table, never from input lane order.
+    if split:
+        inv_part = jnp.zeros((w * h,), jnp.int32).at[pix_part].set(
+            jnp.arange(m, dtype=jnp.int32))
+        row = inv_part[pix_out]
+    else:
+        row = pix_out
+    part_img = jnp.zeros((m, 3), jnp.float32).at[row].add(radiance)
+    if gbuf_p is not None:
+        lum = jnp.sum(radiance * jnp.asarray([0.2126, 0.7152, 0.0722]),
+                      axis=-1)
+        gbuf_p = dict(
+            gbuf_p,
+            m1=jnp.zeros((m,), jnp.float32).at[row].add(lum),
+            m2=jnp.zeros((m,), jnp.float32).at[row].add(lum * lum))
+    return part_img, rays, prime_p, gbuf_p
+
+
 def render_frame_batched(scene: Scene, cfg: RenderConfig,
                          cam: cam_mod.CameraState, frame_idx,
                          prime=None, gbuffer: bool = False,
@@ -236,7 +288,8 @@ def render_frame_batched(scene: Scene, cfg: RenderConfig,
     gbuffer=True (also summed over frames; weight by `frames` in
     running means).
     """
-    intersect_fn, occluded_fn = make_intersectors(scene, cfg)
+    import os
+
     w, h = cfg.width, cfg.height
     n = w * h
     spp = cfg.spp
@@ -244,30 +297,67 @@ def render_frame_batched(scene: Scene, cfg: RenderConfig,
     swizzled = _swizzled_pixel_ids(w, h)
     base_pix = (swizzled if swizzled is not None
                 else jnp.arange(n, dtype=jnp.int32))
-    # sample-major lane order: s-th segment keeps the swizzled 8x8
-    # pixel-block structure, so primary tiles stay compact screen squares
-    pixel_ids = jnp.tile(base_pix, spp_eff)
-    frame_idx = jnp.asarray(frame_idx, jnp.uint32)
-    sample_ids = (frame_idx * spp
-                  + jnp.repeat(jnp.arange(spp_eff, dtype=jnp.uint32), n))
-    o, d = cam_mod.generate_primary_rays(
-        cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed,
-        cfg.sampler)
     if primed and prime is None:
         prime = jnp.full((n, 3), -1, jnp.int32)
-    radiance, pix_out, rays, prime_out, gbuf = path_mod.trace_paths(
-        scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn,
-        occluded_fn, prime=prime if primed else None,
-        want_gbuffer=gbuffer, n_pixels=n)
-    # spp lanes share a pixel: scatter-ADD; /spp makes the per-frame
-    # MEAN (summed over `frames` frames)
-    img = jnp.zeros((n, 3), jnp.float32).at[pix_out].add(radiance) / spp
-    if gbuffer and gbuf is not None:
+
+    # The wavefront is capped at PT_MAX_WAVEFRONT lanes: above it the
+    # integrator's per-lane state overflows HBM (measured round 4: the
+    # 2-frame x 4-spp 1080p wavefront = 16.6M lanes wants 17.0G of the
+    # 15.75G). The column win of sample batching comes from lanes PER
+    # PIXEL (pool DENSITY - the S=8 probe measured its x1.21 cut on a
+    # 1M-lane pool, docs/PERF.md 0.39.3), not total pool size, so the
+    # pool splits into spatial PARTS along the swizzled lane order: each
+    # part traces ALL spp_eff samples of a contiguous run of 8x8 pixel
+    # blocks, as its own jitted XLA program (parts never coexist in HBM).
+    cap = int(os.environ.get("PT_MAX_WAVEFRONT", str(1 << 23)))
+    parts = max(1, -(-(n * spp_eff) // cap))
+    if parts == 1:
+        part_img, rays, prime_out, gbuf = _trace_pool_part(
+            scene, cfg, cam, frame_idx, base_pix, prime, spp_eff,
+            gbuffer, primed, False)
+        img = part_img / spp
+        if gbuffer and gbuf is not None:
+            m1 = gbuf.pop("m1") / spp
+            m2 = gbuf.pop("m2") / spp
+            gbuf = dict(gbuf, m1=m1.reshape(h, w), m2=m2.reshape(h, w))
+        return img.reshape(h, w, 3), rays, prime_out, gbuf
+
+    bounds = [n * p // parts for p in range(parts + 1)]
+    img = jnp.zeros((n, 3), jnp.float32)
+    rays = None
+    prime_parts = []
+    gb_parts = []
+    for p in range(parts):
+        a, b_ = bounds[p], bounds[p + 1]
+        pix_part = base_pix[a:b_]
+        part_img, rays_p, prime_p, gbuf_p = _trace_pool_part(
+            scene, cfg, cam, frame_idx, pix_part,
+            prime[pix_part] if primed else None, spp_eff, gbuffer,
+            primed, True)
+        img = img.at[pix_part].add(part_img, unique_indices=True)
+        rays = rays_p if rays is None else rays + rays_p
+        prime_parts.append(prime_p)
+        gb_parts.append(gbuf_p)
+    img = img / spp
+
+    prime_out = None
+    if primed:
+        # parts partition the swizzled lane order; re-scatter their
+        # row-local hint outputs back to pixel order
+        lane_prime = jnp.concatenate(prime_parts, axis=0)
+        prime_out = jnp.zeros((n, 3), jnp.int32).at[base_pix].set(
+            lane_prime, unique_indices=True)
+    gbuf = None
+    if gbuffer and gb_parts and gb_parts[0] is not None:
+        cat = {k: jnp.concatenate([g[k] for g in gb_parts], axis=0)
+               for k in gb_parts[0]}
+        unswz = lambda a: jnp.zeros(  # noqa: E731
+            (n,) + a.shape[1:], a.dtype).at[base_pix].set(
+                a, unique_indices=True)
+        gbuf = {k: unswz(v) for k, v in cat.items()}
+        m1 = gbuf.pop("m1") / spp
+        m2 = gbuf.pop("m2") / spp
         # SVGF moments in (h, w) image layout, matching the spp loop
-        lum = jnp.sum(radiance * jnp.asarray([0.2126, 0.7152, 0.0722]),
-                      axis=-1)
-        m1 = jnp.zeros((n,), jnp.float32).at[pix_out].add(lum) / spp
-        m2 = jnp.zeros((n,), jnp.float32).at[pix_out].add(lum * lum) / spp
         gbuf = dict(gbuf, m1=m1.reshape(h, w), m2=m2.reshape(h, w))
     return img.reshape(h, w, 3), rays, prime_out, gbuf
 

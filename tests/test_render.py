@@ -350,3 +350,44 @@ def test_frame_batched_matches_progressive_loop():
 def test_frame_batch_requires_spp_batch():
     with pytest.raises(ValueError):
         RenderConfig(width=8, height=8, spp=1, frame_batch=2)
+
+
+def test_pool_parts_split_exact(monkeypatch):
+    """PT_MAX_WAVEFRONT caps the batched pool: the spatially-split parts
+    path must reproduce the single-wavefront render exactly (same sample
+    set; pool DENSITY per pixel is what the column win rides on), with
+    priming and the G-buffer composing."""
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import Renderer
+
+    b = cornell_box()
+    sv, sf = icosphere(0.25, (0.5, 0.35, 0.2), 3)
+    m = b.add_material(MaterialDesc(albedo=(0.7, 0.6, 0.2), roughness=0.4))
+    b.add_mesh(sv, sf, m)
+    scene = build_scene_clusters(b.finalize())
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       intersector="cluster", spp_batch=True,
+                       frame_batch=2, primary_priming=True, denoise=True)
+
+    def run():
+        r = Renderer(scene, cfg, cam)
+        r.camera.moved = False
+        r.step()
+        return (np.asarray(r.film.accum), np.asarray(r._prime),
+                {k: np.asarray(v) for k, v in (r._gbuf or {}).items()})
+
+    whole_img, whole_prime, whole_gb = run()
+    # 16x16 x 2 spp x 2 frames = 1024 lanes; cap at 512 -> 2 parts
+    monkeypatch.setenv("PT_MAX_WAVEFRONT", "512")
+    part_img, part_prime, part_gb = run()
+    np.testing.assert_allclose(part_img, whole_img, rtol=1e-5, atol=1e-6)
+    # hints: parts see only their own pixels' lanes, but every returned
+    # hint row must still be a valid (verified-on-use) prediction
+    assert part_prime.shape == whole_prime.shape
+    assert (part_prime[:, 0] >= -1).all()
+    assert (part_prime[:, 0] >= 0).any()
+    for k in ("normal", "depth", "albedo", "m1", "m2"):
+        np.testing.assert_allclose(part_gb[k], whole_gb[k],
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
