@@ -72,8 +72,19 @@ def main():
         scene, cam = _scene(name)
         cfg = RenderConfig(width=w, height=h, spp=spp, max_depth=6,
                            intersector="cluster")
-        for mode in ("fly", "accum"):
-            r = Renderer(scene, cfg, camera=cam)
+        # accum_fb8: static-camera refinement with cfg.frame_batch=8 -
+        # 8 progressive frames' pools traced as ONE wavefront. At this
+        # scale the per-frame pool is ~130k lanes, far below the 8.3M
+        # saturation point, so pool growth still cuts swept columns
+        # (docs/PERF.md 0.27/0.40); fps here counts accumulated frames.
+        import dataclasses
+
+        fb = int(os.environ.get("INTERACTIVE_FB", 8))
+        for mode in ("fly", "accum", "accum_fb"):
+            mcfg = (dataclasses.replace(cfg, spp_batch=True,
+                                        frame_batch=fb)
+                    if mode == "accum_fb" else cfg)
+            r = Renderer(scene, mcfg, camera=cam)
             # warmup: full host sync per frame (block_until_ready does
             # not reliably block through the tunnel - CLAUDE.md)
             for _ in range(4):
@@ -82,20 +93,25 @@ def main():
                 r.step()
                 float(np.asarray(r.film.accum).sum())
             r.reset()
+            F = mcfg.frame_batch           # frames accumulated per step
+            steps = max(1, n // F)
             t0 = time.perf_counter()
-            for _ in range(n):
+            for _ in range(steps):
                 if mode == "fly":
                     cam.process_mouse(15.0, 0.0)   # ~1.5 deg yaw/frame
                 r.step()
                 img = r.display() * 255.0          # host readback = sync
                 frame_to_ansi(img, cols=100, rows=40)
             dt = time.perf_counter() - t0
+            nf = steps * F
             print(json.dumps({
                 "metric": f"interactive_{name}_{mode}_fps",
-                "value": round(n / dt, 2),
+                "value": round(nf / dt, 2),
                 "unit": "fps",
-                "ms_per_frame": round(1e3 * dt / n, 1),
-                "frames": n,
+                "ms_per_frame": round(1e3 * dt / nf, 1),
+                "frames": nf,
+                "steps": steps,
+                "frame_batch": F,
                 "resolution": [w, h],
                 "spp": spp,
                 "max_depth": 6,
