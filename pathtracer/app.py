@@ -188,6 +188,14 @@ def main(argv=None):
                     help="terminal viewer: ANSI truecolor preview, "
                          "WASD+arrow camera, accumulation resets on "
                          "movement (the reference's windowed loop)")
+    ap.add_argument("--auto-frame-batch", type=int, default=8, metavar="F",
+                    help="interactive throughput mode: while the camera "
+                         "is static, each step after the first renders F "
+                         "frames' sample pools as one wavefront (measured "
+                         "x1.9-x4.0 fps at 480x272@1spp on chip, "
+                         "docs/PERF.md 0.41); the step after a move stays "
+                         "single-frame for latency. 0/1 disables. Only "
+                         "affects --interactive.")
     ap.add_argument("--orbit", action="store_true",
                     help="orbit the camera (resets accumulation per frame)")
     ap.add_argument("--out", default="out.png",
@@ -236,7 +244,9 @@ def main(argv=None):
             tile, sample = (int(x) for x in args.mesh.split(","))
             mesh = make_mesh(tile=tile, sample=sample)
     cam = default_camera(specs[0])
-    r = Renderer(scene, cfg, cam, mesh=mesh)
+    auto_fb = (args.auto_frame_batch
+               if args.interactive and args.frame_batch == 1 else 0)
+    r = Renderer(scene, cfg, cam, mesh=mesh, auto_frame_batch=auto_fb)
 
     if args.checkpoint and os.path.exists(args.checkpoint):
         r.film = fm.load_checkpoint(args.checkpoint)

@@ -452,7 +452,8 @@ class Renderer:
     """
 
     def __init__(self, scene: Scene, cfg: RenderConfig,
-                 camera: Optional[cam_mod.Camera] = None, mesh=None):
+                 camera: Optional[cam_mod.Camera] = None, mesh=None,
+                 auto_frame_batch: int = 0):
         if cfg.intersector == "bvh" and scene.bvh is None:
             from pathtracer.accel import lbvh
 
@@ -478,11 +479,24 @@ class Renderer:
         # runtime display-filter toggle (the viewer flips it; the frozen
         # cfg stays the source of truth for G-buffer capture)
         self.denoise = cfg.denoise
+        # Adaptive cross-frame batching (viewer throughput mode): when
+        # auto_frame_batch = F > 1, the step AFTER a camera move renders
+        # one frame (latency - instant visual feedback), and every
+        # static-camera step after that renders F frames' pools as one
+        # wavefront. At interactive scales the per-frame pool is far
+        # below the 8.3M-lane saturation point, so the joint pool cuts
+        # swept columns AND amortizes per-step dispatch: measured x1.9
+        # (Cornell) / x4.0 (bunny) fps at 480x272@1spp with F=8 on chip
+        # (docs/PERF.md 0.40/0.41). Sample set (and estimator) identical
+        # to F single steps; only float summation order differs.
+        self.auto_frame_batch = int(auto_frame_batch)
+        self._frames_done = 0
 
     def reset(self):
         self.film = film_mod.new_film(self.cfg.width, self.cfg.height)
         self._gbuf = None
         self._gbuf_frames = 0
+        self._frames_done = 0
         # NOTE: self._prime is deliberately KEPT across camera moves -
         # hints are re-verified against the new rays, so stale ones cost
         # one cheap dense test and fresh ones (small motions leave most
@@ -521,12 +535,18 @@ class Renderer:
                                   for n, v in self._gbuf.items()}
                 self._gbuf_frames += F
             self.film = film_mod.accumulate_many(self.film, radiance, F)
+            self._frames_done += F
             return self.film
         want_gb = self.cfg.denoise and self.cfg.max_depth > 1
-        if self.cfg.frame_batch > 1:
-            # cross-frame batched step: frame_batch frames' spp pools as
+        F = self.cfg.frame_batch
+        if F == 1 and self.auto_frame_batch > 1 and self._frames_done > 0:
+            # static camera + at least one frame shown: switch to the
+            # batched wavefront (throughput mode); a camera move resets
+            # _frames_done so the next step is a 1-frame latency step
+            F = self.auto_frame_batch
+        if F > 1:
+            # cross-frame batched step: F frames' spp pools as
             # ONE wavefront; the film folds all their means at once
-            F = self.cfg.frame_batch
             priming = (self.cfg.primary_priming
                        and self.cfg.intersector == "cluster")
             radiance_sum, _, prime_o, gb = render_frame_batched(
@@ -549,6 +569,7 @@ class Renderer:
                 self._gbuf_frames += F
             self.film = film_mod.accumulate_many(self.film, radiance_sum,
                                                  F)
+            self._frames_done += F
             return self.film
         out = render_frame_with_stats(
             self.scene, self.cfg, self.camera.state(),
@@ -567,11 +588,20 @@ class Renderer:
         else:
             radiance, _, self._prime = out
         self.film = film_mod.accumulate(self.film, radiance)
+        self._frames_done += 1
         return self.film
 
     def run(self, n_frames: int) -> film_mod.Film:
-        for _ in range(n_frames):
-            self.step()
+        # run() renders EXACTLY n_frames: adaptive batching (a viewer
+        # latency/throughput policy) is suspended so the count is exact
+        # and no extra per-F programs compile.
+        saved = self.auto_frame_batch
+        self.auto_frame_batch = 0
+        try:
+            for _ in range(n_frames):
+                self.step()
+        finally:
+            self.auto_frame_batch = saved
         jax.block_until_ready(self.film.accum)
         return self.film
 

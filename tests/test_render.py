@@ -352,6 +352,41 @@ def test_frame_batch_requires_spp_batch():
         RenderConfig(width=8, height=8, spp=1, frame_batch=2)
 
 
+def test_auto_frame_batch_matches_single_steps():
+    """Renderer(auto_frame_batch=F): the step after construction (or a
+    camera move) renders ONE frame for latency; each static step after
+    that folds F frames. The film must match single-frame stepping at
+    the same frame count (identical sample set), and a camera move must
+    drop back to a 1-frame step."""
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import Renderer
+
+    scene = build_scene_clusters(cornell_box().finalize())
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       intersector="cluster")
+    ra = Renderer(scene, cfg, cam, auto_frame_batch=3)
+    ra.camera.moved = False
+    ra.step()                                     # latency step: 1 frame
+    assert int(ra.film.frame) == 1
+    ra.step()                                     # throughput step: 3
+    assert int(ra.film.frame) == 4
+
+    rb = Renderer(scene, cfg, Camera(position=(0.5, 0.5, 2.2)))
+    rb.camera.look_at((0.5, 0.5, 0.0))
+    rb.camera.moved = False
+    for _ in range(4):
+        rb.step()
+    np.testing.assert_allclose(np.asarray(ra.film.accum),
+                               np.asarray(rb.film.accum),
+                               rtol=1e-4, atol=1e-5)
+
+    ra.camera.moved = True                        # a move resets + drops
+    ra.step()                                     # back to 1-frame step
+    assert int(ra.film.frame) == 1
+
+
 def test_pool_parts_split_exact(monkeypatch):
     """PT_MAX_WAVEFRONT caps the batched pool: the spatially-split parts
     path must reproduce the single-wavefront render exactly (same sample
