@@ -21,10 +21,23 @@ import numpy as np
 
 
 def build_configs(scale: float):
-    from pathtracer.config import RenderConfig
+    import functools
+
+    from pathtracer.config import RenderConfig as _RC
     from pathtracer.integrator.camera import Camera
     from pathtracer.scene import procedural
     from pathtracer.scene.build import MaterialDesc
+
+    # Production parity: the headline bench runs spp-batched wavefronts
+    # (chip-confirmed default, PERF.md 0.31) and the win GROWS as the
+    # per-call pool shrinks (PERF.md 0.42: config 3 = 4.32 -> 7.38
+    # Mrays/s on chip), so the config sweep uses the same default.
+    # PT_CFG_SPP_BATCH=0 reverts to per-sample wavefronts. Exception:
+    # config 1 routes to the dense 12-tri intersector (render.py
+    # make_intersectors), where the 4x wavefront measured SLOWER
+    # (3.71 -> 2.97) - it stays per-sample.
+    _sb = os.environ.get("PT_CFG_SPP_BATCH", "1") != "0"
+    RenderConfig = functools.partial(_RC, spp_batch=_sb)
 
     def r(x):
         return max(16, int(x * scale) // 8 * 8)
@@ -64,7 +77,8 @@ def build_configs(scale: float):
     return [
         ("cornell_256_4spp",
          lambda: procedural.cornell_box().finalize(),
-         RenderConfig(width=r(256), height=r(256), spp=4, max_depth=6),
+         RenderConfig(width=r(256), height=r(256), spp=4, max_depth=6,
+                      spp_batch=False),  # dense route: batching loses
          cam((0.5, 0.5, 2.2), (0.5, 0.5, 0.0))),
         ("bunny_512_lbvh",
          lambda: procedural.bunny_like().finalize(),
