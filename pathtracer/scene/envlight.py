@@ -54,6 +54,39 @@ def build_env_distribution(envmap: np.ndarray):
             pdf.astype(np.float32))
 
 
+def _row_searchsorted(cdf2d, r, u):
+    """Per-lane searchsorted(cdf2d[r], u, side='left') WITHOUT gathering
+    the [N, W] row matrix.
+
+    The naive `cond_cdf[r]` gather materializes [N, W] (4 GB at 1M lanes
+    x 1024-wide env, a 34 GB compile-time OOM at the 8.4M-lane batched
+    pool) just so each lane can binary-search its own row. An explicit
+    lower-bound binary search needs log2(W) scalar-per-lane gathers
+    `cdf2d[r, mid]` instead - O(N log W) time, O(N) memory - and returns
+    bit-identical indices (pinned vs jnp.searchsorted in
+    tests/test_envlight.py)."""
+    w = cdf2d.shape[1]
+    lo = jnp.zeros_like(r)
+    hi = jnp.full_like(r, w)
+    # insertion index lives in [0, w]: interval size w needs
+    # ceil(log2(w)) + 1 halvings to reach 0
+    steps = int(np.ceil(np.log2(max(w, 2)))) + 1
+
+    def body(_, lohi):
+        lo, hi = lohi
+        open_ = lo < hi                     # converged lanes stay put
+        mid = (lo + hi) // 2
+        # lower bound: first index with cdf >= u; clamp the probe for
+        # lanes already at mid == w (JAX would clamp the read anyway,
+        # but the update must not move a converged lane)
+        go_right = open_ & (cdf2d[r, jnp.minimum(mid, w - 1)] < u)
+        return (jnp.where(go_right, mid + 1, lo),
+                jnp.where(open_ & ~go_right, mid, hi))
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
 def sample_env(marginal_cdf, cond_cdf, u1, u2, u3, u4):
     """Sample directions from the env distribution.
 
@@ -63,10 +96,7 @@ def sample_env(marginal_cdf, cond_cdf, u1, u2, u3, u4):
     h = marginal_cdf.shape[0]
     w = cond_cdf.shape[1]
     r = jnp.clip(jnp.searchsorted(marginal_cdf, u1, side="left"), 0, h - 1)
-    rows = cond_cdf[r]                           # [N, W] gather
-    c = jnp.clip(jax.vmap(
-        lambda cdf, u: jnp.searchsorted(cdf, u, side="left"))(rows, u2),
-        0, w - 1)
+    c = jnp.clip(_row_searchsorted(cond_cdf, r, u2), 0, w - 1)
 
     theta = (r.astype(jnp.float32) + u3) / h * M_PI
     phi = ((c.astype(jnp.float32) + u4) / w - 0.5) * (2.0 * M_PI)

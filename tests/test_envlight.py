@@ -81,3 +81,29 @@ def test_sample_dir_matches_texel():
     c2 = np.clip(((phi / (2 * np.pi) + 0.5) * 16).astype(int), 0, 15)
     assert (r2 == np.asarray(r)).mean() > 0.99
     assert (c2 == np.asarray(c)).mean() > 0.99
+
+
+def test_row_searchsorted_matches_jnp():
+    """The gather-free per-row binary search must return EXACTLY
+    jnp.searchsorted(row, u, side='left') for every lane - including
+    u=0, u=1, exact-boundary hits and degenerate (constant) rows -
+    so replacing the [N, W] row gather changed no sample."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 7, 64, 1000, 1024):
+        cdf = np.sort(rng.uniform(size=(17, w)).astype(np.float32), axis=1)
+        cdf[:, -1] = 1.0
+        cdf[3, :] = 1.0                       # degenerate all-ones row
+        n = 512
+        r = rng.integers(0, 17, size=n).astype(np.int32)
+        u = rng.uniform(size=n).astype(np.float32)
+        u[:8] = [0.0, 1.0, 0.5, cdf[0, 0], cdf[0, w - 1],
+                 np.nextafter(np.float32(1.0), np.float32(0.0)),
+                 cdf[5, w // 2], cdf[5, w // 2] + 1e-7]
+        got = np.asarray(envlight._row_searchsorted(
+            jnp.asarray(cdf), jnp.asarray(r), jnp.asarray(u)))
+        want = np.asarray(jax.vmap(
+            lambda row, uu: jnp.searchsorted(row, uu, side="left"))(
+                jnp.asarray(cdf)[jnp.asarray(r)], jnp.asarray(u)))
+        np.testing.assert_array_equal(got, want, err_msg=f"w={w}")
