@@ -39,6 +39,25 @@ def build_configs(scale: float):
     _sb = os.environ.get("PT_CFG_SPP_BATCH", "1") != "0"
     RenderConfig = functools.partial(_RC, spp_batch=_sb)
 
+    # Frame-batch each progressive config toward the 8.3M-lane
+    # pool-saturation point (PERF.md 0.40/0.41: the column win rides on
+    # pool growth, which the 1-spp configs leave on the table), capped
+    # at 8 frames/step. The sample set is identical (frame_batch
+    # semantics); ms/frame stays per-frame (harness renormalizes).
+    # Chip A/B 2026-08-21 (PERF.md 0.43): bunny x2.46 (2.23 -> 5.48),
+    # materials +13% (7.20 -> 8.11), sponza-1spp +17% (5.77 -> 6.76),
+    # envmap neutral (1.323 -> 1.321). PT_CFG_FB=0 disables.
+    _fb_auto = os.environ.get("PT_CFG_FB", "auto") == "auto"
+
+    def _with_fb(cfg):
+        if not (_fb_auto and cfg.spp_batch):
+            return cfg
+        import dataclasses
+
+        pool = cfg.width * cfg.height * cfg.spp
+        f = max(1, min(8, (1 << 23) // pool))
+        return dataclasses.replace(cfg, frame_batch=f)
+
     def r(x):
         return max(16, int(x * scale) // 8 * 8)
 
@@ -74,7 +93,7 @@ def build_configs(scale: float):
         b.set_envmap(read_hdr(hdr_path))
         return b.finalize()
 
-    return [
+    configs = [
         ("cornell_256_4spp",
          lambda: procedural.cornell_box().finalize(),
          RenderConfig(width=r(256), height=r(256), spp=4, max_depth=6,
@@ -99,6 +118,7 @@ def build_configs(scale: float):
          RenderConfig(width=r(1920), height=r(1080), spp=1, max_depth=6),
          cam((3.0, 4.5, 6.0), (14.0, 3.0, 6.0))),
     ]
+    return [(n, s, _with_fb(c), cm) for n, s, c, cm in configs]
 
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
