@@ -163,10 +163,14 @@ def main(argv=None):
     ap.add_argument("--spp-batch", action="store_true",
                     help="trace all spp samples as one wavefront "
                          "(cfg.spp_batch; bigger coherence-sort pool)")
-    ap.add_argument("--frame-batch", type=int, default=1, metavar="F",
+    ap.add_argument("--frame-batch", default="1", metavar="F",
                     help="fold F progressive frames' spp pools into one "
                          "wavefront per step (implies --spp-batch; "
-                         "identical estimator, same sample set)")
+                         "identical estimator, same sample set). "
+                         "'auto' picks F to grow the pool toward the "
+                         "8.3M-lane saturation point (docs/PERF.md "
+                         "0.40/0.43: bunny-class 512^2 x2.46, 1080p@1spp "
+                         "+17%; neutral once the pool is saturated)")
     ap.add_argument("--sky", default="gradient",
                     choices=["gradient", "black", "hosek", "envmap"])
     ap.add_argument("--envmap", default=None,
@@ -224,6 +228,13 @@ def main(argv=None):
     if args.envmap:
         builder.set_envmap(load_envmap(args.envmap))
     scene = builder.finalize()
+    if args.frame_batch == "auto":
+        # grow the per-step pool toward the 8.3M-lane saturation point
+        # (PERF.md 0.40/0.43); capped at 8 frames/step
+        pool = args.width * args.height * args.spp
+        frame_batch = max(1, min(8, (1 << 23) // pool))
+    else:
+        frame_batch = int(args.frame_batch)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, sky=args.sky,
                        env_importance_sampling=args.env_nee,
@@ -232,8 +243,8 @@ def main(argv=None):
                        traversal_backend=args.traversal_backend,
                        primary_priming=args.priming,
                        denoise=args.denoise,
-                       spp_batch=args.spp_batch or args.frame_batch > 1,
-                       frame_batch=args.frame_batch)
+                       spp_batch=args.spp_batch or frame_batch > 1,
+                       frame_batch=frame_batch)
     mesh = None
     if args.mesh:
         from pathtracer.parallel.sharding import make_mesh
@@ -245,7 +256,7 @@ def main(argv=None):
             mesh = make_mesh(tile=tile, sample=sample)
     cam = default_camera(specs[0])
     auto_fb = (args.auto_frame_batch
-               if args.interactive and args.frame_batch == 1 else 0)
+               if args.interactive and frame_batch == 1 else 0)
     r = Renderer(scene, cfg, cam, mesh=mesh, auto_frame_batch=auto_fb)
 
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -272,9 +283,12 @@ def main(argv=None):
         center = np.asarray(cam.position) * 0  # orbit scene origin-ish
         radius = float(np.linalg.norm(cam.position))
 
-    for i in range(args.frames):
+    # --frames counts PROGRESSIVE FRAMES; with frame_batch=F each step
+    # covers F of them
+    steps = max(1, -(-args.frames // frame_batch))
+    for i in range(steps):
         if args.orbit:
-            ang = 2 * math.pi * i / args.frames
+            ang = 2 * math.pi * i / steps
             r.camera.position = np.array(
                 [radius * math.cos(ang), cam.position[1],
                  radius * math.sin(ang)], np.float32)

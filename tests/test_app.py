@@ -142,3 +142,29 @@ def test_viewer_escape_parsing(monkeypatch):
     assert feed(b"\x1b[15~w") == ["", "w"]
     assert feed(b"\x1b") == ["esc"]
     assert feed(b"wasd") == ["w", "a", "s", "d"]
+
+
+def test_frame_batch_auto_cli(tmp_path):
+    """--frame-batch auto picks F from the pool rule (PERF 0.40/0.43)
+    and renders the same image as per-frame stepping."""
+    out = str(tmp_path / "fb.png")
+    ck_a = str(tmp_path / "a.npz")
+    ck_b = str(tmp_path / "b.npz")
+    # 16x16@1spp pool = 256 lanes -> F capped at 8; 8 frames = 1 step
+    rc = app_mod.main(["--scene", "cornell", "--width", "16",
+                       "--height", "16", "--spp", "1", "--max-depth", "2",
+                       "--frames", "8", "--frame-batch", "auto",
+                       "--checkpoint", ck_a, "--out", out, "--quiet"])
+    assert rc == 0 and os.path.exists(out)
+    rc = app_mod.main(["--scene", "cornell", "--width", "16",
+                       "--height", "16", "--spp", "1", "--max-depth", "2",
+                       "--frames", "8", "--checkpoint", ck_b,
+                       "--out", str(tmp_path / "ref.png"), "--quiet"])
+    assert rc == 0
+    from pathtracer.film import film as fm
+
+    fa, fb = fm.load_checkpoint(ck_a), fm.load_checkpoint(ck_b)
+    assert int(fa.frame) == int(fb.frame) == 8
+    # identical sample set; only float summation order differs
+    np.testing.assert_allclose(np.asarray(fa.accum), np.asarray(fb.accum),
+                               rtol=1e-4, atol=1e-5)
