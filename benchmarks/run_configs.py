@@ -54,8 +54,9 @@ def build_configs(scale: float):
             return cfg
         import dataclasses
 
-        pool = cfg.width * cfg.height * cfg.spp
-        f = max(1, min(8, (1 << 23) // pool))
+        from pathtracer.config import saturating_frame_batch
+
+        f = saturating_frame_batch(cfg.width, cfg.height, cfg.spp)
         return dataclasses.replace(cfg, frame_batch=f)
 
     def r(x):

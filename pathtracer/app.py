@@ -158,8 +158,10 @@ def main(argv=None):
     ap.add_argument("--spp", type=int, default=4)
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--frames", type=int, default=8,
-                    help="progressive steps to render (with --frame-batch "
-                         "F each step covers F frames)")
+                    help="progressive frames to render; with --frame-batch "
+                         "F (or auto) the count rounds UP to a whole "
+                         "number of F-frame steps (e.g. --frames 10 with "
+                         "F=8 renders 16)")
     ap.add_argument("--spp-batch", action="store_true",
                     help="trace all spp samples as one wavefront "
                          "(cfg.spp_batch; bigger coherence-sort pool)")
@@ -229,10 +231,17 @@ def main(argv=None):
         builder.set_envmap(load_envmap(args.envmap))
     scene = builder.finalize()
     if args.frame_batch == "auto":
-        # grow the per-step pool toward the 8.3M-lane saturation point
-        # (PERF.md 0.40/0.43); capped at 8 frames/step
-        pool = args.width * args.height * args.spp
-        frame_batch = max(1, min(8, (1 << 23) // pool))
+        if args.interactive:
+            # the viewer's ADAPTIVE policy (--auto-frame-batch) owns
+            # batching: a fixed F>1 here would make every post-move step
+            # an F-frame batch (~F x movement latency, the opposite of
+            # the latency-preserving design)
+            frame_batch = 1
+        else:
+            from pathtracer.config import saturating_frame_batch
+
+            frame_batch = saturating_frame_batch(
+                args.width, args.height, args.spp)
     else:
         frame_batch = int(args.frame_batch)
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,

@@ -22,6 +22,27 @@ from __future__ import annotations
 
 import dataclasses
 
+# Wavefront pool-saturation point, in lanes (rays): the measured scale
+# above which growing the per-call pool (via spp_batch / frame_batch)
+# stops cutting swept columns on v5e (docs/PERF.md 0.40: headline
+# 1080p x 4 spp = 8.3M lanes is already saturated; 0.43: every config
+# below it wins from batching toward it). Also the default
+# PT_MAX_WAVEFRONT spatial-part split threshold (render.py). All
+# auto-frame-batch heuristics derive from this one constant.
+POOL_SATURATION_LANES = 1 << 23
+
+
+def saturating_frame_batch(width: int, height: int, spp: int,
+                           cap: int = 8) -> int:
+    """Frames/step that grow the pool toward POOL_SATURATION_LANES.
+
+    The '--frame-batch auto' policy (app.py, benchmarks/run_configs.py):
+    identical estimator/sample set, measured x2.46 on bunny-class scenes
+    and neutral once saturated (docs/PERF.md 0.40/0.43).
+    """
+    pool = width * height * spp
+    return max(1, min(cap, POOL_SATURATION_LANES // pool))
+
 
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pathtracer import config as config_mod
 from pathtracer import film as film_mod
 from pathtracer.config import RenderConfig
 from pathtracer.integrator import camera as cam_mod
@@ -309,7 +310,8 @@ def render_frame_batched(scene: Scene, cfg: RenderConfig,
     # pool splits into spatial PARTS along the swizzled lane order: each
     # part traces ALL spp_eff samples of a contiguous run of 8x8 pixel
     # blocks, as its own jitted XLA program (parts never coexist in HBM).
-    cap = int(os.environ.get("PT_MAX_WAVEFRONT", str(1 << 23)))
+    cap = int(os.environ.get("PT_MAX_WAVEFRONT",
+                             str(config_mod.POOL_SATURATION_LANES)))
     parts = max(1, -(-(n * spp_eff) // cap))
     if parts == 1:
         part_img, rays, prime_out, gbuf = _trace_pool_part(
@@ -517,6 +519,11 @@ class Renderer:
                 self._prime = jnp.full(
                     (self.cfg.width * self.cfg.height, 3), -1, jnp.int32)
             F = self.cfg.frame_batch
+            if F == 1 and self.auto_frame_batch > 1 and self._frames_done > 0:
+                # same adaptive policy as the single-chip branch below:
+                # static camera => batched throughput step, post-move
+                # step stays single-frame for latency
+                F = self.auto_frame_batch
             out = sharding.render_frame_sharded(
                 self.scene, self.cfg, self.camera.state(),
                 self.film.frame.astype(jnp.uint32), self.mesh,
