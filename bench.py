@@ -136,6 +136,25 @@ def main():
     detail["window_ms"] = [round(w, 1) for w in result.window_ms]
     detail["ms_std"] = round(result.ms_std, 1)
 
+    # Auditable roofline (VERDICT r4 #5): exact visited-vs-needed column
+    # counts + the measured kernel-rate model, computed ON this scene's
+    # real bounce-1 batch (pathtracer/bench/pair_metrics.py). Makes the
+    # "headline is at the pair roofline x structural waste" claim one
+    # checkable dict instead of a PERF.md archaeology exercise.
+    if os.environ.get("BENCH_PAIR_METRICS", "1") != "0":
+        try:
+            from pathtracer.bench.pair_metrics import bounce1_pair_metrics
+
+            pm = bounce1_pair_metrics(scene, cfg, cam)
+            detail["pair_metrics"] = pm
+            # end-to-end fraction of the measured VPU-bound design
+            # ceiling (~18 Mrays/s at zero fixed cost + zero waste,
+            # docs/PERF.md 0.21)
+            detail["vs_design_ceiling_18mrays"] = round(
+                result.mrays_per_sec / 18.0, 3)
+        except Exception as e:  # metrics must never kill the bench
+            detail["pair_metrics"] = {"error": repr(e)}
+
     # attach the latest full-config sweep (benchmarks/run_configs.py
     # --out benchmarks/results/configs_latest.json) so the driver's
     # BENCH_r*.json carries all 5 BASELINE configs, not just the headline
