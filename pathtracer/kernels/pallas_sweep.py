@@ -29,6 +29,7 @@ Falls back to interpret mode off-TPU (tests run it on CPU).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,9 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 from pathtracer.kernels.intersect import DET_EPS
 
 LANES = 128
-SLOTS = 4                # DMA prefetch ring depth (measured perf-neutral
-                         # at K=512 - the sweep is VPU-compute-bound - but
-                         # hides fetch latency for larger blocks)
+# DMA prefetch ring depth. 4 measured perf-neutral at K=512 (the sweep is
+# VPU-compute-bound), but at the production cpi=8/K=128 constants a tile
+# sweeps only ~7 columns (54.8 schedule entries / cpi, PERF.md 0.33), so
+# the SLOTS-1-column warm-up is a large fraction of a tile's DMA work and
+# rides the per-TILE (not per-iteration) fixed cost. PT_SWEEP_SLOTS=2/3
+# A/Bs a shallower ring (import-time; separate process per leg).
+SLOTS = int(os.environ.get("PT_SWEEP_SLOTS", "4"))
 
 
 def _bw_lane(block, rays, t_min, best_t):
@@ -109,14 +114,19 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
         pltpu.make_async_copy(
             scratch.at[slot], scratch.at[slot], sems.at[slot]).wait()
 
+    # Dead-tile gate: a tile whose NEAREST schedule entry is already past
+    # its farthest ray cap sweeps zero columns (all-dead parked lanes, or
+    # every cluster behind the cap) - skip the whole prefetch ring, not
+    # just the loop. The same predicate gates the drain below so starts
+    # and waits stay paired. Mirrors the while cond at col=0.
+    t_cap = tcap_ref[0, 0, :].reshape(r, 1)
+    live = st_ref[0, 0, 0] < jnp.max(t_cap)
+
     # prefetch ring: columns 0..SLOTS-1 in flight before the loop
     for c0 in range(SLOTS - 1):
-        if c0 == 0:
-            start_dma(0, 0)
-        else:
-            @pl.when(jnp.int32(c0) < n_cols)
-            def _(c0=c0):
-                start_dma(c0 % SLOTS, c0)
+        @pl.when(live & (jnp.int32(c0) < n_cols))
+        def _(c0=c0):
+            start_dma(c0 % SLOTS, c0)
 
     tid_row = 12  # block row holding tri-id (+1, as a float value)
 
@@ -176,7 +186,6 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
     # best_t starts at the per-ray scene-exit cap (not t_max): rays that
     # miss everything then stop steering the sweep past the scene bounds.
-    t_cap = tcap_ref[0, 0, :].reshape(r, 1)
     init = (
         jnp.int32(0),
         t_cap,
@@ -190,9 +199,10 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
 
     # Drain in-flight prefetches so the next grid step starts clean: on
     # exit at column col_f, DMAs were issued for columns col_f ..
-    # min(col_f + SLOTS - 2, n_cols - 1) (the SLOTS-1 deep ring).
+    # min(col_f + SLOTS - 2, n_cols - 1) (the SLOTS-1 deep ring) - but
+    # only if the tile was live (the gate above skipped the ring else).
     for off in range(SLOTS - 1):
-        @pl.when(col_f + off < n_cols)
+        @pl.when(live & (col_f + off < n_cols))
         def _(off=off):
             wait_dma(jax.lax.rem(col_f + off, SLOTS))
 
@@ -233,13 +243,14 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
         pltpu.make_async_copy(
             scratch.at[slot], scratch.at[slot], sems.at[slot]).wait()
 
+    # Dead-tile gate (see _sweep_kernel): an empty schedule (first entry
+    # inf) sweeps zero columns - skip the ring and its drain entirely.
+    live = st_ref[0, 0, 0] < jnp.inf
+
     for c0 in range(SLOTS - 1):
-        if c0 == 0:
-            start_dma(0, 0)
-        else:
-            @pl.when(jnp.int32(c0) < n_cols)
-            def _(c0=c0):
-                start_dma(c0 % SLOTS, c0)
+        @pl.when(live & (jnp.int32(c0) < n_cols))
+        def _(c0=c0):
+            start_dma(c0 % SLOTS, c0)
 
     def cond(carry):
         col, blocked, n_open = carry[:3]
@@ -302,7 +313,7 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
     col_f, blocked = fin[0], fin[1]
 
     for off in range(SLOTS - 1):
-        @pl.when(col_f + off < n_cols)
+        @pl.when(live & (col_f + off < n_cols))
         def _(off=off):
             wait_dma(jax.lax.rem(col_f + off, SLOTS))
 
