@@ -90,6 +90,19 @@ class RenderConfig:
     t_max: float = 1e20
     shadow_eps: float = 1e-4
 
+    # Cell-interleaved env-NEE sampling (net-new; docs/PERF.md 0.44):
+    # pixels in an NxN screen cell share one env-light direction per
+    # (sample, depth) draw, so env shadow batches collapse from ~one
+    # direction per lane to ~one per cell and the occlusion sort packs
+    # them into direction-coherent tiles (the r5 config-4 attribution
+    # measured incoherent env shadow rays at 2.4 us/query = 70% of the
+    # envmap frame, ~8x every other ray class). Per-pixel estimator and
+    # variance are UNCHANGED (the direction is still drawn from the env
+    # pdf; only cross-pixel correlation is introduced - interleaved
+    # sampling), so accumulation converges identically; low-spp noise is
+    # blocky instead of white. 1 = independent per-pixel draws.
+    env_nee_cell: int = 8
+
     # Reproduce the reference's estimator quirks exactly (SURVEY.md par.3.6):
     # NEE without the x10 gain and emission=mat.emission (not *albedo) on BSDF
     # hits, no MIS weight on BSDF-sampled emitter hits, conditional-lobe-only
@@ -185,6 +198,8 @@ class RenderConfig:
             raise ValueError("resolution must be positive")
         if self.spp <= 0:
             raise ValueError("spp must be positive")
+        if self.env_nee_cell < 1:
+            raise ValueError("env_nee_cell must be >= 1")
         if self.max_depth <= 0:
             raise ValueError("max_depth must be positive")
         if self.sky not in ("gradient", "black", "hosek", "envmap"):

@@ -338,8 +338,23 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
     """
     from pathtracer.scene import envlight
 
-    u = rng.uniform4(pixel, sample, depth, rng.SALT_ENV_SELECT, cfg.seed,
-                     cfg.sampler)
+    # Cell-interleaved draw (cfg.env_nee_cell, docs/PERF.md 0.44): key
+    # the env-direction stream on the pixel's NxN screen cell instead of
+    # the pixel, so a cell's lanes share one direction per (sample,
+    # depth) and the occlusion sort packs env shadow rays into
+    # direction-coherent tiles. Keyed on TRUE pixel coordinates:
+    # layout-invariant under sharding, exactly like the per-pixel
+    # streams.
+    cell = cfg.env_nee_cell
+    if cell > 1:
+        pix_i = jnp.asarray(pixel, jnp.int32)
+        cells_x = -(-cfg.width // cell)
+        key_pix = ((pix_i // cfg.width) // cell * cells_x
+                   + (pix_i % cfg.width) // cell).astype(jnp.uint32)
+    else:
+        key_pix = pixel
+    u = rng.uniform4(key_pix, sample, depth, rng.SALT_ENV_SELECT,
+                     cfg.seed, cfg.sampler)
     l_dir, _, _ = envlight.sample_env(
         scene.env_marginal_cdf, scene.env_cond_cdf,
         u[..., 0], u[..., 1], u[..., 2], u[..., 3])

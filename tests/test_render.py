@@ -426,3 +426,36 @@ def test_pool_parts_split_exact(monkeypatch):
     for k in ("normal", "depth", "albedo", "m1", "m2"):
         np.testing.assert_allclose(part_gb[k], whole_gb[k],
                                    rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_env_nee_cell_interleaving_unbiased():
+    """Cell-interleaved env-NEE draws (cfg.env_nee_cell) keep the
+    estimator unbiased: the white furnace with env NEE + MIS must still
+    return albedo on the sphere and exactly 1.0 on the background, and
+    the cell=8 / cell=1 images must agree in MEAN within MC noise (the
+    per-pixel estimator is identical; only cross-pixel correlation of
+    the env-direction streams changes - docs/PERF.md 0.44)."""
+    b = SceneBuilder()
+    m = b.add_material(MaterialDesc(albedo=(0.6, 0.6, 0.6), roughness=1.0))
+    sv, sf = icosphere(1.0, (0, 0, 0), 3)
+    b.add_mesh(sv, sf, m)
+    b.set_envmap(np.ones((4, 8, 3), np.float32))
+    scene = b.finalize()
+
+    base = RenderConfig(width=16, height=16, spp=4, max_depth=3,
+                        sky="envmap", emission_gain=1.0,
+                        env_importance_sampling=True, intersector="brute")
+    cam = Camera(position=(0, 0, 3))
+    cam.look_at((0, 0, 0))
+    imgs = {}
+    for cell in (1, 8):
+        cfg = dataclasses.replace(base, env_nee_cell=cell)
+        imgs[cell] = np.asarray(render_frame(scene, cfg, cam.state(), 0))
+        center = imgs[cell][8, 8]
+        assert 0.595 < center[0] < 0.70, (cell, center)
+        np.testing.assert_allclose(imgs[cell][0, 0], 1.0, atol=1e-3)
+    # means agree within MC noise (constant furnace -> tiny variance)
+    np.testing.assert_allclose(imgs[8].mean(), imgs[1].mean(), rtol=2e-2)
+    # and the draws really are shared: with cell=8 a 16x16 frame has 4
+    # cells, so at most 4 distinct env directions per (sample, depth)
+    assert not np.allclose(imgs[8], imgs[1])
