@@ -88,11 +88,16 @@ def intersect_brute(o, d, tri_v0, tri_v1, tri_v2, t_min, t_max,
     tv1 = tri_v1.reshape(n_chunks, tri_chunk, 3)
     tv2 = tri_v2.reshape(n_chunks, tri_chunk, 3)
 
+    # Carry inits derive data-dependence from the rays (same pattern as
+    # render.py's bounce carries): under shard_map with check_vma the
+    # scan carry must enter with the same varying-manual-axes type the
+    # body produces, and constant inits are unvarying.
+    vary = o[:, 0] * 0.0
     init = Hit(
-        t=t_max,
-        tri=jnp.full((n,), -1, jnp.int32),
-        u=jnp.zeros((n,), jnp.float32),
-        v=jnp.zeros((n,), jnp.float32),
+        t=t_max + vary,
+        tri=jnp.full((n,), -1, jnp.int32) + vary.astype(jnp.int32),
+        u=vary,
+        v=vary,
     )
 
     def body(best, chunk):
@@ -161,8 +166,10 @@ def occluded_brute(o, d, t_max, tri_v0, tri_v1, tri_v2,
         btri = jnp.where(new, ci * tri_chunk + j, btri)
         return (blocked | any_hit, btri), None
 
-    init = (jnp.zeros(o.shape[0], bool),
-            jnp.full(o.shape[0], -1, jnp.int32))
+    # ray-derived carry init: see intersect_brute (shard_map check_vma)
+    ivary = (o[:, 0] * 0.0).astype(jnp.int32)
+    init = (jnp.zeros(o.shape[0], bool) | (ivary != 0),
+            jnp.full(o.shape[0], -1, jnp.int32) + ivary)
     (blocked, btri), _ = jax.lax.scan(
         body, init, (jnp.arange(n_chunks), tv0, tv1, tv2))
     return (blocked, btri) if want_blocker else blocked
