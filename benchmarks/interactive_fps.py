@@ -80,24 +80,34 @@ def main():
         import dataclasses
 
         fb = int(os.environ.get("INTERACTIVE_FB", 8))
-        for mode in ("fly", "accum", "accum_fb"):
+        # fly_preview: the r5 motion-preview path (Renderer
+        # motion_preview=2) - moving-camera steps render a 1-spp
+        # preview at 1/2 resolution and display() upscales; the honest
+        # fly fps was per-step-fixed-cost bound at ~3.2 (PERF.md 0.41).
+        for mode in ("fly", "fly_preview", "accum", "accum_fb"):
             mcfg = (dataclasses.replace(cfg, spp_batch=True,
                                         frame_batch=fb)
                     if mode == "accum_fb" else cfg)
-            r = Renderer(scene, mcfg, camera=cam)
+            r = Renderer(scene, mcfg, camera=cam,
+                         motion_preview=(
+                             int(os.environ.get("INTERACTIVE_PREVIEW",
+                                                2))
+                             if mode == "fly_preview" else 0))
             # warmup: full host sync per frame (block_until_ready does
             # not reliably block through the tunnel - CLAUDE.md)
             for _ in range(4):
-                if mode == "fly":
+                if mode.startswith("fly"):
                     cam.process_mouse(15.0, 0.0)
                 r.step()
-                float(np.asarray(r.film.accum).sum())
+                # full host sync: the preview path never touches the
+                # film, so sync through display()
+                float(np.asarray(r.display()).sum())
             r.reset()
             F = mcfg.frame_batch           # frames accumulated per step
             steps = max(1, n // F)
             t0 = time.perf_counter()
             for _ in range(steps):
-                if mode == "fly":
+                if mode.startswith("fly"):
                     cam.process_mouse(15.0, 0.0)   # ~1.5 deg yaw/frame
                 r.step()
                 img = r.display() * 255.0          # host readback = sync

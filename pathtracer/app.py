@@ -202,6 +202,13 @@ def main(argv=None):
                          "docs/PERF.md 0.41); the step after a move stays "
                          "single-frame for latency. 0/1 disables. Only "
                          "affects --interactive.")
+    ap.add_argument("--motion-preview", type=int, default=2, metavar="S",
+                    help="interactive latency mode: while the camera is "
+                         "MOVING, render a 1-spp preview at 1/S "
+                         "resolution and upscale for display (full-res "
+                         "accumulation resumes the moment the camera "
+                         "stops; the film never sees preview frames). "
+                         "0/1 disables. Only affects --interactive.")
     ap.add_argument("--orbit", action="store_true",
                     help="orbit the camera (resets accumulation per frame)")
     ap.add_argument("--out", default="out.png",
@@ -266,7 +273,9 @@ def main(argv=None):
     cam = default_camera(specs[0])
     auto_fb = (args.auto_frame_batch
                if args.interactive and frame_batch == 1 else 0)
-    r = Renderer(scene, cfg, cam, mesh=mesh, auto_frame_batch=auto_fb)
+    r = Renderer(scene, cfg, cam, mesh=mesh, auto_frame_batch=auto_fb,
+                 motion_preview=(args.motion_preview
+                                 if args.interactive else 0))
 
     if args.checkpoint and os.path.exists(args.checkpoint):
         r.film = fm.load_checkpoint(args.checkpoint)

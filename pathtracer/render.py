@@ -455,7 +455,7 @@ class Renderer:
 
     def __init__(self, scene: Scene, cfg: RenderConfig,
                  camera: Optional[cam_mod.Camera] = None, mesh=None,
-                 auto_frame_batch: int = 0):
+                 auto_frame_batch: int = 0, motion_preview: int = 0):
         if cfg.intersector == "bvh" and scene.bvh is None:
             from pathtracer.accel import lbvh
 
@@ -493,6 +493,17 @@ class Renderer:
         # to F single steps; only float summation order differs.
         self.auto_frame_batch = int(auto_frame_batch)
         self._frames_done = 0
+        # Motion preview (viewer latency mode, VERDICT r4 #3): with
+        # motion_preview = s > 1, the step AFTER a camera move renders a
+        # 1-spp frame at (W/s, H/s) instead of full resolution and
+        # display() upscales it - the fly-mode fps was measured
+        # scene-INDEPENDENT at 3.2 (per-step fixed cost, PERF.md 0.41),
+        # so an s=2 preview cuts the moving-camera step ~4x in lanes.
+        # The accumulation path is untouched: the preview never enters
+        # the film, and the first static step renders full-res frame 1
+        # exactly as before.
+        self.motion_preview = int(motion_preview)
+        self._preview = None
 
     def reset(self):
         self.film = film_mod.new_film(self.cfg.width, self.cfg.height)
@@ -505,10 +516,28 @@ class Renderer:
         # pixels on the same surface) still shortcut traversal. Exactness
         # is camera-independent.
 
+    def _step_preview(self) -> film_mod.Film:
+        """Moving-camera step: low-res 1-spp preview, film untouched."""
+        import dataclasses
+
+        s = self.motion_preview
+        w = max(16, (self.cfg.width // s) // 8 * 8)
+        h = max(16, (self.cfg.height // s) // 8 * 8)
+        cfg_p = dataclasses.replace(
+            self.cfg, width=w, height=h, spp=1, spp_batch=False,
+            frame_batch=1, denoise=False, primary_priming=False)
+        self._preview = render_frame(self.scene, cfg_p,
+                                     self.camera.state(),
+                                     jnp.uint32(0))
+        return self.film
+
     def step(self) -> film_mod.Film:
         if self.camera.moved:
             self.reset()
             self.camera.moved = False
+            if self.motion_preview > 1 and self.mesh is None:
+                return self._step_preview()
+        self._preview = None
         if self.mesh is not None:
             from pathtracer.parallel import sharding
 
@@ -619,6 +648,15 @@ class Renderer:
         the edge-aware a-trous denoiser (film/denoise.py) before tone
         mapping; the film itself is never modified.
         """
+        if self._preview is not None:
+            # moving camera: nearest-upscale the low-res preview to the
+            # display resolution (the terminal viewer re-downsamples to
+            # character cells anyway, so nearest costs nothing visible)
+            p = np.asarray(film_mod.to_display(self._preview))
+            ys = (np.arange(self.cfg.height) * p.shape[0]
+                  ) // self.cfg.height
+            xs = (np.arange(self.cfg.width) * p.shape[1]) // self.cfg.width
+            return p[ys][:, xs]
         linear = self.film.accum
         if self.denoise and self._gbuf is not None:
             from pathtracer.film import denoise as dn
