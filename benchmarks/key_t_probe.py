@@ -210,6 +210,66 @@ def main():
                        | (oc0.astype(jnp.uint32)
                           << jnp.uint32(32 - db3 - cb))
                        | (m >> jnp.uint32(30 - max(0, 32 - db3 - cb))))
+        elif scheme in ("ocmin", "ocmind"):
+            # HYPOTHESIS probe (r5, VERDICT #4): the TRUE-firstcluster
+            # shadow win (fc x1.505, PERF 0.39) may be nothing but a
+            # CONSISTENT tie-break - a secondary ray's origin lies
+            # inside its own cluster's AABB (entry 0), so fc's argmin
+            # resolves to the MIN-INDEX cluster CONTAINING the origin,
+            # direction-blind; oc (x0.998) picks an arbitrary
+            # duplicate. If min-index containment reproduces fc's
+            # columns, the win is FREE (no slab pass).
+            c = accel.aabb_lo.shape[0]
+
+            def min_containing(o):
+                def blk(args):
+                    ob, = args
+                    inside = jnp.all(
+                        (ob[:, None, :] >= accel.aabb_lo[None])
+                        & (ob[:, None, :] <= accel.aabb_hi[None]),
+                        axis=-1)                       # [B, C]
+                    idx = jnp.where(
+                        inside,
+                        jnp.arange(c, dtype=jnp.int32)[None], c)
+                    return jnp.min(idx, axis=1)
+
+                bs = 8192
+                pad = (-o.shape[0]) % bs
+                op = jnp.concatenate(
+                    [o, jnp.full((pad, 3), 1e30)], 0) if pad else o
+                nb = op.shape[0] // bs
+                mc = jax.lax.map(blk, (op.reshape(nb, bs, 3),))
+                return mc.reshape(-1)[:o.shape[0]].astype(jnp.int32)
+
+            mc = jnp.minimum(min_containing(o), c - 1)
+            cb = max(1, int(c - 1).bit_length())
+            rest = max(0, 32 - cb - db3)
+            if scheme == "ocmin":
+                key = ((mc.astype(jnp.uint32) << jnp.uint32(32 - cb))
+                       | (dbin << jnp.uint32(rest))
+                       | (m >> jnp.uint32(30 - rest if rest < 30 else 0)))
+            else:   # ocmind: direction major, containment second
+                key = ((dbin << jnp.uint32(32 - db3))
+                       | (mc.astype(jnp.uint32)
+                          << jnp.uint32(32 - db3 - cb))
+                       | (m >> jnp.uint32(30 - max(0, 32 - db3 - cb))))
+        elif scheme == "dird":
+            # shadow-only free key: quantized distance-to-target (the
+            # shadow t_max, known exactly pre-sort) aligns the rays'
+            # CULL bounds so tile union schedules stay tight. Uses the
+            # probe's light-panel target distance.
+            dist = jnp.linalg.norm(
+                jnp.stack([6.0 + 8.0 * 0.5, 7.8, 6.0], 0)[None] - o,
+                axis=-1)   # coarse: panel-center distance (free proxy)
+            qb = 6
+            dn = jnp.clip(dist / diag, 0.0, 1.0)
+            qd = jnp.minimum((jnp.sqrt(dn)
+                              * ((1 << qb) - 1e-3)).astype(jnp.uint32),
+                             jnp.uint32((1 << qb) - 1))
+            rest = 32 - db3 - qb
+            key = ((dbin << jnp.uint32(32 - db3))
+                   | (qd << jnp.uint32(rest))
+                   | (m >> jnp.uint32(30 - rest)))
         elif scheme.startswith("fcc"):
             # coarse first-GROUP id major (g clusters per union AABB),
             # then dbin, then origin-Morton detail - the 16x cheaper key

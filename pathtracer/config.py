@@ -103,6 +103,18 @@ class RenderConfig:
     # blocky instead of white. 1 = independent per-pixel draws.
     env_nee_cell: int = 8
 
+    # Russian roulette on env-NEE shadow rays (net-new; PERF.md 0.44):
+    # trace the env shadow ray with probability q = clip(m * lum(T),
+    # 1/8, 1) where T is the path throughput, and weight surviving
+    # contributions by 1/q - the reference's own path-RR principle
+    # (raygen.rgen:286-290) applied at the shadow-ray site. Unbiased;
+    # adds bounded variance ONLY where the path is already dim. The r5
+    # attribution measured deep-bounce env shadow rays (incoherent by
+    # nature - scattered origins x sampled sky directions) as the
+    # dominant envmap-config cost; RR prunes exactly those. m = this
+    # field; 0 disables (trace every valid shadow ray).
+    env_shadow_rr: float = 1.0
+
     # Reproduce the reference's estimator quirks exactly (SURVEY.md par.3.6):
     # NEE without the x10 gain and emission=mat.emission (not *albedo) on BSDF
     # hits, no MIS weight on BSDF-sampled emitter hits, conditional-lobe-only

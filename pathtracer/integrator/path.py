@@ -327,14 +327,22 @@ def _power_heuristic(pdf_a, pdf_b):
 
 def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
              pixel, sample, depth, occluded_fn, shade=None,
-             primary=False, prime_blk=None, verify_rows=None):
+             primary=False, prime_blk=None, verify_rows=None,
+             throughput=None):
     """Environment-map NEE with MIS (net-new; BASELINE config 4).
 
     One shadow ray toward a luminance-importance-sampled env direction.
-    Returns (contrib/T [N,3]); with prime_blk, (contrib, new_blk) - the
-    same verified-blocker cache as _nee (sky shadow rays in enclosed
-    regions re-verify the same occluder across samples even though the
-    sampled direction varies).
+    Returns (contrib/T [N,3], traced bool[N]); with prime_blk,
+    (contrib, new_blk, traced) - the same verified-blocker cache as
+    _nee (sky shadow rays in enclosed regions re-verify the same
+    occluder across samples even though the sampled direction varies).
+
+    throughput: path throughput T at this vertex, used by the shadow-ray
+    Russian roulette (cfg.env_shadow_rr): the query is traced with
+    probability q = clip(m * lum(T), 1/8, 1) and surviving contributions
+    are weighted 1/q - unbiased, and `traced` reports which lanes
+    actually resolved a visibility query (the exact ray counter adds
+    only those).
     """
     from pathtracer.scene import envlight
 
@@ -364,6 +372,19 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
 
     s_orig = surf.position + surf.normal * cfg.shadow_eps
     valid = ok if shade is None else (ok & shade)
+    inv_q = jnp.ones(l_dir.shape[:-1], jnp.float32)
+    if cfg.env_shadow_rr > 0.0 and throughput is not None:
+        # Shadow-ray RR (cfg.env_shadow_rr): skip dim-path queries with
+        # probability 1-q, weight survivors 1/q. Rec.709 luminance, the
+        # same measure the env CDF importance uses (scene/envlight.py).
+        lum_t = (0.2126 * throughput[..., 0] + 0.7152 * throughput[..., 1]
+                 + 0.0722 * throughput[..., 2])
+        q = jnp.clip(cfg.env_shadow_rr * lum_t, 0.125, 1.0)
+        u_rr = rng.uniform1(pixel, sample, depth, rng.SALT_ENV_RR,
+                            cfg.seed, cfg.sampler)
+        valid = valid & (u_rr < q)
+        inv_q = 1.0 / q
+    traced = valid
     s_tmax = jnp.full(l_dir.shape[:-1], 1e18, jnp.float32)
     new_blk = None
     if prime_blk is not None:
@@ -395,9 +416,13 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
     pdf_b = mf.pdf_bsdf(surf.normal, view, l_dir, surf.metallic,
                         surf.roughness)
     w = _power_heuristic(p_env, pdf_b)
-    contrib = f * le * (n_dot_l * w / jnp.maximum(p_env, 1e-12))[..., None]
-    out = jnp.where((ok & ~blocked)[..., None], contrib, 0.0)
-    return (out, new_blk) if prime_blk is not None else out
+    contrib = (f * le
+               * (n_dot_l * w * inv_q / jnp.maximum(p_env, 1e-12))[..., None])
+    # gate on `traced`: an RR-skipped lane resolved no query and must
+    # contribute 0 (its expectation rides in the survivors' 1/q weight)
+    out = jnp.where((traced & ~blocked)[..., None], contrib, 0.0)
+    return ((out, new_blk, traced) if prime_blk is not None
+            else (out, traced))
 
 
 def _nee(scene: Scene, cfg: RenderConfig, surf: Surface, view: jnp.ndarray,
@@ -816,20 +841,24 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
             rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
         if env_nee and not skip_nee:
             if primary and prime_env is not None:
-                env_c, new_envb = _nee_env(scene, cfg, surf, view, pix,
-                                           samp, depth, occluded_fn,
-                                           shade, primary,
-                                           prime_blk=prime_env[_lp(pix)],
-                                           verify_rows=verify_rows)
+                env_c, new_envb, env_traced = _nee_env(
+                    scene, cfg, surf, view, pix, samp, depth,
+                    occluded_fn, shade, primary,
+                    prime_blk=prime_env[_lp(pix)],
+                    verify_rows=verify_rows, throughput=throughput)
                 prime_state["envb"] = jnp.full(
                     prime_env.shape, -1, jnp.int32).at[_lp(pix)].set(
                         new_envb, unique_indices=uniq)
             else:
-                env_c = _nee_env(scene, cfg, surf, view, pix, samp,
-                                 depth, occluded_fn, shade, primary)
+                env_c, env_traced = _nee_env(
+                    scene, cfg, surf, view, pix, samp, depth,
+                    occluded_fn, shade, primary, throughput=throughput)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * env_c, 0.0)
-            rays_traced = rays_traced + jnp.sum(shade.astype(jnp.float32))
+            # exact counter: only lanes that RESOLVED a visibility query
+            # (shadow-RR skips resolve nothing; docstring contract)
+            rays_traced = rays_traced + jnp.sum(
+                env_traced.astype(jnp.float32))
 
         # --- BSDF sampling (raygen.rgen:263-283) ---
         u_lobe = rng.uniform1(pix, samp, depth,

@@ -38,6 +38,7 @@ SALT_RR = 7            # Russian roulette                 raygen.rgen:288
 SALT_ENV_SELECT = 8    # envmap NEE texel pick (net-new)
 SALT_ENV_UV = 9        # envmap NEE in-texel jitter (net-new)
 SALT_TEX_FILTER = 10   # stochastic bilinear texel jitter (net-new)
+SALT_ENV_RR = 11       # env-NEE shadow-ray Russian roulette (net-new)
 _SALTS_PER_DEPTH = 12
 
 _U32 = jnp.uint32

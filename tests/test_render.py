@@ -460,6 +460,14 @@ def test_env_nee_cell_interleaving_unbiased():
     # cells, so at most 4 distinct env directions per (sample, depth)
     assert not np.allclose(imgs[8], imgs[1])
 
+    # env shadow-ray RR (cfg.env_shadow_rr) is unbiased too: disabling
+    # it must agree in mean within MC noise (RR only fires at bounce>=1
+    # where throughput < 1, weighting survivors 1/q)
+    cfg_norr = dataclasses.replace(base, env_shadow_rr=0.0)
+    img_norr = np.asarray(render_frame(scene, cfg_norr, cam.state(), 0))
+    np.testing.assert_allclose(img_norr.mean(), imgs[1].mean(), rtol=2e-2)
+    np.testing.assert_allclose(img_norr[0, 0], 1.0, atol=1e-3)
+
 
 def test_motion_preview_semantics(cornell_setup):
     """Motion preview (Renderer motion_preview=s): moving-camera steps
