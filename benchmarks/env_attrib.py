@@ -82,6 +82,10 @@ def main():
 
     legs = [
         ("full", scene, cfg),
+        ("rr_off", scene, dataclasses.replace(cfg, env_shadow_rr=0.0)),
+        ("rr_strong", scene,
+         dataclasses.replace(cfg, env_shadow_rr=0.25)),
+        ("cell_off", scene, dataclasses.replace(cfg, env_nee_cell=1)),
         ("no_env_nee", scene,
          dataclasses.replace(cfg, env_importance_sampling=False)),
         ("no_nee", scene, dataclasses.replace(cfg, skip_nee=True)),
@@ -95,6 +99,11 @@ def main():
             d = int(dleg)
             legs.append((f"depth{d}", scene,
                          dataclasses.replace(cfg, max_depth=d)))
+
+    only = os.environ.get("BENCH_LEGS")
+    if only:
+        want = set(only.split(","))
+        legs = [leg for leg in legs if leg[0] in want]
 
     results = {}
     for leg_name, leg_scene, leg_cfg in legs:

@@ -181,6 +181,15 @@ def main(argv=None):
     ap.add_argument("--env-nee", action="store_true",
                     help="importance-sample the env map with MIS "
                          "(one extra shadow ray per bounce)")
+    ap.add_argument("--env-cell", type=int, default=8, metavar="N",
+                    help="cell-interleaved env-NEE draws: pixels in an "
+                         "NxN screen cell share one env direction per "
+                         "(sample, depth) - coherent shadow tiles, "
+                         "same per-pixel estimator (1 = independent)")
+    ap.add_argument("--env-rr", type=float, default=1.0, metavar="M",
+                    help="Russian roulette on env shadow rays: trace "
+                         "with q = clip(M*lum(throughput), 1/8, 1), "
+                         "weight survivors 1/q (unbiased; 0 disables)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sampler", default="pcg", choices=["pcg", "sobol"],
                     help="pcg = independent uniforms (reference class); "
@@ -254,6 +263,8 @@ def main(argv=None):
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, sky=args.sky,
                        env_importance_sampling=args.env_nee,
+                       env_nee_cell=args.env_cell,
+                       env_shadow_rr=args.env_rr,
                        seed=args.seed, sampler=args.sampler,
                        intersector=args.intersector,
                        traversal_backend=args.traversal_backend,
