@@ -211,6 +211,7 @@ def main():
     rays = jnp.asarray(rng.normal(size=(tiles, 6, R)).astype(np.float32))
 
     results = {}
+    per_tile = {}
     for variant in ("empty", "nodma", "noalu", "dma1", "full"):
         dta, _ = run_variant(variant, tiles, cols_a, cpi, c_clusters,
                              blocks, rays, interpret)
@@ -218,7 +219,13 @@ def main():
                              blocks, rays, interpret)
         per_iter = (dtb - dta) / ((cols_b - cols_a) * tiles) * 1e6
         results[variant] = per_iter
-        print(f"{variant:6s}: {per_iter:8.3f} us/iter "
+        # per-TILE fixed cost (grid-step pipeline + ring warm-up/drain +
+        # dispatch, amortized): the intercept of the cols->time line.
+        # At the production ~7 iterations/tile this is a first-order
+        # share that the per-iteration number hides.
+        per_tile[variant] = dta / tiles * 1e6 - cols_a * per_iter
+        print(f"{variant:6s}: {per_iter:8.3f} us/iter  "
+              f"per-tile fixed {per_tile[variant]:8.3f} us "
               f"(dt {dta * 1e3:.1f} -> {dtb * 1e3:.1f} ms)", flush=True)
 
     if not interpret:

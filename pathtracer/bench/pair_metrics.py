@@ -36,11 +36,11 @@ import jax.numpy as jnp
 import numpy as np
 
 # Measured per-iteration cost of the production Pallas sweep on v5e
-# (benchmarks/sweep_attrib.py, docs/PERF.md 0.20/0.31/0.33): ~1.42 us
-# per grid iteration at cpi=8/K=128, ~0.4 us of which is loop/DMA/SMEM
-# fixed cost (the round-5 target). The 0.33 chip check validated the
-# cols x iter model within ~15%.
-SWEEP_US_PER_ITER = 1.42
+# (benchmarks/sweep_attrib.py at the production cpi=8, docs/PERF.md
+# 0.45): 1.136 us = 0.717 ALU + 0.149 loop floor + 0.175 DMA starts +
+# 0.094 overlap. Frame model validated: 252 predicted vs 270 ms
+# measured sweep at headline (residual ~0.5 us/tile ring/pipeline).
+SWEEP_US_PER_ITER = 1.136
 
 
 def bounce1_pair_metrics(scene, cfg, camera, max_rays: int = 1 << 21):
