@@ -349,24 +349,54 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
     # Cell-interleaved draw (cfg.env_nee_cell, docs/PERF.md 0.44): key
     # the env-direction stream on the pixel's NxN screen cell instead of
     # the pixel, so a cell's lanes share one direction per (sample,
-    # depth) and the occlusion sort packs env shadow rays into
-    # direction-coherent tiles. Keyed on TRUE pixel coordinates:
-    # layout-invariant under sharding, exactly like the per-pixel
-    # streams.
+    # depth). Two wins: (a) the occlusion sort packs env shadow rays
+    # into direction-coherent tiles; (b) the env SAMPLING machinery -
+    # CDF binary search + pdf + radiance lookups, measured 341 ms per
+    # bounce at 1M dense lanes on chip (PERF.md 0.44.2) - runs ONCE PER
+    # (cell, sample) on a table of n_cells x S entries and expands to
+    # lanes with one wide-row gather. Bit-exact: identical inputs,
+    # identical IEEE results, just deduplicated. Keyed on TRUE pixel
+    # coordinates: layout-invariant under sharding.
     cell = cfg.env_nee_cell
     if cell > 1:
         pix_i = jnp.asarray(pixel, jnp.int32)
         cells_x = -(-cfg.width // cell)
-        key_pix = ((pix_i // cfg.width) // cell * cells_x
-                   + (pix_i % cfg.width) // cell).astype(jnp.uint32)
+        cells_y = -(-cfg.height // cell)
+        n_cells = cells_x * cells_y
+        cell_id = ((pix_i // cfg.width) // cell * cells_x
+                   + (pix_i % cfg.width) // cell)
+        # distinct sample ids in any wavefront form a contiguous run of
+        # at most S = spp * frame_batch values (spp-batch pools carry
+        # frame*spp + s; per-sample calls carry one); shards see a
+        # sub-run. s0 rides as a traced scalar.
+        S = max(1, cfg.spp * cfg.frame_batch)
+        s0 = jnp.min(jnp.asarray(sample, jnp.uint32))
+        ck = jnp.repeat(jnp.arange(n_cells, dtype=jnp.uint32), S)
+        sk = jnp.tile(jnp.arange(S, dtype=jnp.uint32), n_cells) + s0
+        u_c = rng.uniform4(ck, sk, depth, rng.SALT_ENV_SELECT,
+                           cfg.seed, cfg.sampler)
+        l_dir_c, _, _ = envlight.sample_env(
+            scene.env_marginal_cdf, scene.env_cond_cdf,
+            u_c[..., 0], u_c[..., 1], u_c[..., 2], u_c[..., 3])
+        p_c = envlight.env_pdf(scene.env_pdf, l_dir_c)
+        le_c = sky_mod.envmap_radiance(scene.envmap, l_dir_c)
+        table = jnp.concatenate(
+            [l_dir_c, p_c[:, None], le_c,
+             jnp.zeros_like(p_c)[:, None]], axis=1)    # [n_cells*S, 8]
+        slot = jnp.minimum(
+            jnp.asarray(sample, jnp.uint32) - s0, jnp.uint32(S - 1))
+        rows = table[cell_id.astype(jnp.uint32) * jnp.uint32(S) + slot]
+        l_dir = rows[:, 0:3]
+        p_env = rows[:, 3]
+        le = rows[:, 4:7]
     else:
-        key_pix = pixel
-    u = rng.uniform4(key_pix, sample, depth, rng.SALT_ENV_SELECT,
-                     cfg.seed, cfg.sampler)
-    l_dir, _, _ = envlight.sample_env(
-        scene.env_marginal_cdf, scene.env_cond_cdf,
-        u[..., 0], u[..., 1], u[..., 2], u[..., 3])
-    p_env = envlight.env_pdf(scene.env_pdf, l_dir)
+        u = rng.uniform4(pixel, sample, depth, rng.SALT_ENV_SELECT,
+                         cfg.seed, cfg.sampler)
+        l_dir, _, _ = envlight.sample_env(
+            scene.env_marginal_cdf, scene.env_cond_cdf,
+            u[..., 0], u[..., 1], u[..., 2], u[..., 3])
+        p_env = envlight.env_pdf(scene.env_pdf, l_dir)
+        le = sky_mod.envmap_radiance(scene.envmap, l_dir)
     n_dot_l = jnp.maximum(vmath.dot(surf.normal, l_dir), 0.0)
     ok = (n_dot_l > 0.0) & (p_env > 0.0)
 
@@ -410,7 +440,6 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
         l_dir_eff = jnp.where(valid[..., None], l_dir, 1.0)
         blocked = occluded_fn(s_orig, l_dir_eff, s_tmax)
 
-    le = sky_mod.envmap_radiance(scene.envmap, l_dir)
     f = mf.eval_brdf(surf.normal, view, l_dir, surf.albedo, surf.metallic,
                      surf.roughness)
     pdf_b = mf.pdf_bsdf(surf.normal, view, l_dir, surf.metallic,

@@ -107,3 +107,59 @@ def test_row_searchsorted_matches_jnp():
             lambda row, uu: jnp.searchsorted(row, uu, side="left"))(
                 jnp.asarray(cdf)[jnp.asarray(r)], jnp.asarray(u)))
         np.testing.assert_array_equal(got, want, err_msg=f"w={w}")
+
+
+def test_cell_dedup_table_bit_exact():
+    """The per-(cell, sample) env-sampling table (path._nee_env cell>1
+    path) must reproduce the direct per-lane computation bit-exactly -
+    it is the same computation deduplicated (PERF.md 0.44.2)."""
+    import jax.numpy as jnp
+
+    from pathtracer.integrator import sky as sky_mod
+    from pathtracer.sampling import rng
+    from pathtracer.scene import envlight
+    from pathtracer.scene.build import SceneBuilder
+
+    b = SceneBuilder()
+    b.add_mesh(np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32),
+               np.array([[0, 1, 2]], np.int32), 0)
+    env = np.abs(np.sin(np.arange(8 * 16 * 3))).reshape(8, 16, 3) \
+        .astype(np.float32)
+    env[3, 5] = 40.0
+    b.set_envmap(env)
+    scene = b.finalize()
+
+    w = h = 16
+    cell, S, depth = 8, 2, 1
+    n = w * h * S
+    pix = jnp.repeat(jnp.arange(w * h, dtype=jnp.int32), S)
+    samp = jnp.tile(jnp.arange(S, dtype=jnp.uint32), w * h) + 7
+
+    # direct per-lane path (keyed on the cell id, like cell>1 draws)
+    cells_x = -(-w // cell)
+    cid = (pix // w) // cell * cells_x + (pix % w) // cell
+    u = rng.uniform4(cid.astype(jnp.uint32), samp, depth,
+                     rng.SALT_ENV_SELECT, 0, "pcg")
+    l_ref, _, _ = envlight.sample_env(
+        scene.env_marginal_cdf, scene.env_cond_cdf,
+        u[..., 0], u[..., 1], u[..., 2], u[..., 3])
+    p_ref = envlight.env_pdf(scene.env_pdf, l_ref)
+    le_ref = sky_mod.envmap_radiance(scene.envmap, l_ref)
+
+    # table path (mirrors _nee_env): per-(cell, slot) entries + gather
+    n_cells = cells_x * (-(-h // cell))
+    s0 = jnp.min(samp)
+    ck = jnp.repeat(jnp.arange(n_cells, dtype=jnp.uint32), S)
+    sk = jnp.tile(jnp.arange(S, dtype=jnp.uint32), n_cells) + s0
+    u_c = rng.uniform4(ck, sk, depth, rng.SALT_ENV_SELECT, 0, "pcg")
+    l_c, _, _ = envlight.sample_env(
+        scene.env_marginal_cdf, scene.env_cond_cdf,
+        u_c[..., 0], u_c[..., 1], u_c[..., 2], u_c[..., 3])
+    p_c = envlight.env_pdf(scene.env_pdf, l_c)
+    le_c = sky_mod.envmap_radiance(scene.envmap, l_c)
+    idx = cid.astype(jnp.uint32) * jnp.uint32(S) + (samp - s0)
+    np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_c[idx]))
+    np.testing.assert_array_equal(np.asarray(p_ref), np.asarray(p_c[idx]))
+    np.testing.assert_array_equal(np.asarray(le_ref),
+                                  np.asarray(le_c[idx]))
+    assert n == l_ref.shape[0]
