@@ -743,7 +743,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
 
         # --- miss: environment (miss.rmiss; payload.done) ---
         missed = active & ~hit.valid
-        sky_rad = sky_mod.sky_radiance(cfg, scene.envmap, d)
+        sky_rad = sky_mod.sky_radiance(cfg, scene.envmap, d,
+                                       envmap_blocks=scene.envmap_blocks)
         if env_nee:
             # MIS against the env NEE strategy (delta segments weight 1)
             from pathtracer.scene import envlight

@@ -97,8 +97,14 @@ def hosek_wilkie_sky(d, sun_dir, intensity: float = 20.0):
     return jnp.maximum(rgb, 0.0) * intensity
 
 
-def envmap_radiance(envmap, d):
-    """Bilinear equirect lookup: envmap f32[H,W,3], d unit [..., 3]."""
+def envmap_radiance(envmap, d, blocks=None):
+    """Bilinear equirect lookup: envmap f32[H,W,3], d unit [..., 3].
+
+    blocks: optional pre-packed 2x2 footprint rows f32[H,W,12]
+    (Scene.envmap_blocks) - one wide-row gather instead of four narrow
+    taps, bit-identical filtering (the env lookup measured ~24% of the
+    envmap frame with four taps, docs/PERF.md 0.44.2).
+    """
     h, w = envmap.shape[0], envmap.shape[1]
     u = (jnp.arctan2(d[..., 2], d[..., 0]) / (2.0 * M_PI) + 0.5) * w - 0.5
     v = (jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / M_PI) * h - 0.5
@@ -112,12 +118,17 @@ def envmap_radiance(envmap, d):
     x0 = x0 % w
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     y0 = jnp.clip(y0, 0, h - 1)
+    if blocks is not None:
+        row = blocks[y0, x0]                       # [..., 12], one gather
+        a = row[..., 0:3] * (1 - fx) + row[..., 3:6] * fx
+        b = row[..., 6:9] * (1 - fx) + row[..., 9:12] * fx
+        return a * (1 - fy) + b * fy
     a = envmap[y0, x0] * (1 - fx) + envmap[y0, x1] * fx
     b = envmap[y1, x0] * (1 - fx) + envmap[y1, x1] * fx
     return a * (1 - fy) + b * fy
 
 
-def sky_radiance(cfg, envmap, d):
+def sky_radiance(cfg, envmap, d, envmap_blocks=None):
     """Dispatch on cfg.sky (static) - the miss-shader entry point."""
     if cfg.sky == "black":
         return jnp.zeros(d.shape[:-1] + (3,), jnp.float32)
@@ -126,5 +137,5 @@ def sky_radiance(cfg, envmap, d):
     if cfg.sky == "hosek":
         return hosek_wilkie_sky(d, cfg.sun_direction, cfg.sun_intensity)
     if cfg.sky == "envmap":
-        return envmap_radiance(envmap, d)
+        return envmap_radiance(envmap, d, blocks=envmap_blocks)
     raise ValueError(cfg.sky)

@@ -269,6 +269,17 @@ class SceneBuilder:
         from pathtracer.scene.envlight import build_env_distribution
 
         env_mcdf, env_ccdf, env_pdf = build_env_distribution(envmap)
+        env_blocks = None
+        if self.envmap is not None:
+            # 2x2 bilinear-footprint blocks (Scene.envmap_blocks): one
+            # 48-byte row gather replaces four narrow taps in
+            # envmap_radiance. Wrap x, clip y - exactly the lookup's
+            # index rules, so the filtered result is bit-identical.
+            e = envmap
+            ex = np.concatenate([e[:, 1:], e[:, :1]], axis=1)   # x+1 wrap
+            ey = np.concatenate([e[1:], e[-1:]], axis=0)        # y+1 clip
+            exy = np.concatenate([ey[:, 1:], ey[:, :1]], axis=1)
+            env_blocks = np.concatenate([e, ex, ey, exy], axis=2)
 
         return Scene(
             positions=jnp.asarray(positions),
@@ -302,6 +313,8 @@ class SceneBuilder:
             light_pdf=jnp.asarray(pdf_sel),
             tri_light_pdf_area=jnp.asarray(tri_light_pdf_area),
             envmap=jnp.asarray(envmap),
+            envmap_blocks=(None if env_blocks is None
+                           else jnp.asarray(env_blocks)),
             env_marginal_cdf=jnp.asarray(env_mcdf),
             env_cond_cdf=jnp.asarray(env_ccdf),
             env_pdf=jnp.asarray(env_pdf),

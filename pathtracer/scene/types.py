@@ -129,6 +129,15 @@ class Scene:
     tex_comp: Optional[jnp.ndarray] = None     # u32 [M, CH, CW, 3]
     tex_comp_wh: Optional[jnp.ndarray] = None  # i32 [M, 2] true (w, h)
 
+    # Pre-packed 2x2 envmap texel blocks: row [y, x] holds the four
+    # bilinear footprint texels (y,x), (y,x+1 wrap), (y+1 clip,x),
+    # (y+1,x+1), so one 48-byte wide-row gather replaces FOUR narrow
+    # 12-byte gathers in envmap_radiance - same wide-row lesson as
+    # tex_comp above (docs/PERF.md 0.10/0.44.2; the miss-shader env
+    # lookup measured ~24% of the envmap frame). Bilinear arithmetic is
+    # bit-identical. None when no envmap (or memory-gated).
+    envmap_blocks: Optional[jnp.ndarray] = None  # f32 [EH, EW, 12]
+
     # --- static metadata (not traced) ---
     has_lights: bool = dataclasses.field(metadata=dict(static=True), default=False)
     n_lights: int = dataclasses.field(metadata=dict(static=True), default=0)
