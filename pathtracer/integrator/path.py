@@ -328,7 +328,7 @@ def _power_heuristic(pdf_a, pdf_b):
 def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
              pixel, sample, depth, occluded_fn, shade=None,
              primary=False, prime_blk=None, verify_rows=None,
-             throughput=None):
+             throughput=None, sample_window: int = 1):
     """Environment-map NEE with MIS (net-new; BASELINE config 4).
 
     One shadow ray toward a luminance-importance-sampled env direction.
@@ -365,11 +365,13 @@ def _nee_env(scene: Scene, cfg: RenderConfig, surf: Surface, view,
         n_cells = cells_x * cells_y
         cell_id = ((pix_i // cfg.width) // cell * cells_x
                    + (pix_i % cfg.width) // cell)
-        # distinct sample ids in any wavefront form a contiguous run of
-        # at most S = spp * frame_batch values (spp-batch pools carry
-        # frame*spp + s; per-sample calls carry one); shards see a
-        # sub-run. s0 rides as a traced scalar.
-        S = max(1, cfg.spp * cfg.frame_batch)
+        # distinct sample ids in any wavefront fall in a window of
+        # sample_window values starting at the pool base (spp-batch
+        # pools carry frame*spp + s over spp*frames ids; shards a
+        # sub-window; per-sample calls exactly one). The caller passes
+        # the TRUE static window (adaptive frame batching can exceed
+        # cfg.frame_batch); s0 rides as a traced scalar.
+        S = max(1, sample_window)
         s0 = jnp.min(jnp.asarray(sample, jnp.uint32))
         ck = jnp.repeat(jnp.arange(n_cells, dtype=jnp.uint32), S)
         sk = jnp.tile(jnp.arange(S, dtype=jnp.uint32), n_cells) + s0
@@ -596,7 +598,8 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                 pixel_ids, sample_ids,
                 intersect_fn: Callable, occluded_fn: Callable,
                 prime=None, want_gbuffer: bool = False,
-                n_pixels: int = None, local_pix=None):
+                n_pixels: int = None, local_pix=None,
+                sample_window: int = 0):
     """Trace a batch of paths to completion.
 
     Returns (radiance f32[N,3], pixel_ids_out i32[N], rays_traced f32
@@ -642,6 +645,9 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     # n_pixels and scatter WITHOUT the unique-indices contract
     # (last-writer-wins among a pixel's samples).
     n_pixels = n_pixels or n
+    # static sample-id window of this wavefront (docstring of _nee_env);
+    # callers that batch pools pass the true spp_eff
+    sample_window = sample_window or max(1, cfg.spp * cfg.frame_batch)
     uniq = n_pixels == n
     gain = cfg.emission_gain
     env_nee = (cfg.env_importance_sampling and cfg.sky == "envmap"
@@ -875,14 +881,16 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
                     scene, cfg, surf, view, pix, samp, depth,
                     occluded_fn, shade, primary,
                     prime_blk=prime_env[_lp(pix)],
-                    verify_rows=verify_rows, throughput=throughput)
+                    verify_rows=verify_rows, throughput=throughput,
+                    sample_window=sample_window)
                 prime_state["envb"] = jnp.full(
                     prime_env.shape, -1, jnp.int32).at[_lp(pix)].set(
                         new_envb, unique_indices=uniq)
             else:
                 env_c, env_traced = _nee_env(
                     scene, cfg, surf, view, pix, samp, depth,
-                    occluded_fn, shade, primary, throughput=throughput)
+                    occluded_fn, shade, primary, throughput=throughput,
+                    sample_window=sample_window)
             radiance = radiance + jnp.where(
                 shade[..., None], throughput * env_c, 0.0)
             # exact counter: only lanes that RESOLVED a visibility query

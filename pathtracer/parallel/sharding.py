@@ -138,7 +138,8 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                 scene, cfg, o, d, pix_b, sample_ids,
                 intersect_fn, occluded_fn, prime=prime_local,
                 want_gbuffer=want_gb, n_pixels=m,
-                local_pix=jnp.tile(lane_rows, lanes_pp))
+                local_pix=jnp.tile(lane_rows, lanes_pp),
+                sample_window=cfg.spp * frames)
             local = inv_perm[pix_out] - offset
             radiance = radiance.at[local].add(r)   # spp duplicates: ADD
             prime_out = prime_o
@@ -169,7 +170,7 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                     scene, cfg, o, d, pixel_ids_local, sample_ids,
                     intersect_fn, occluded_fn, prime=prime_local,
                     want_gbuffer=want_gb, n_pixels=m,
-                    local_pix=lane_rows)
+                    local_pix=lane_rows, sample_window=1)
                 if prime_local is not None:
                     # chain hints across the local spp loop, like the
                     # single-chip render_frame_with_stats

@@ -165,7 +165,7 @@ def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime,
         cfg.sampler)
     radiance, pix_out, rays, prime_out, gbuf = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn,
-        prime=prime, want_gbuffer=want_gbuffer)
+        prime=prime, want_gbuffer=want_gbuffer, sample_window=1)
     # Lanes come back in the last bounce's wavefront order; one scatter by
     # the riding pixel ids lands them row-major (this also absorbs the
     # un-swizzle of the pixel-block layout).
@@ -247,7 +247,8 @@ def _trace_pool_part(scene: Scene, cfg: RenderConfig,
     radiance, pix_out, rays, prime_p, gbuf_p = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn,
         occluded_fn, prime=prime_part if primed else None,
-        want_gbuffer=gbuffer, n_pixels=m, local_pix=local)
+        want_gbuffer=gbuffer, n_pixels=m, local_pix=local,
+        sample_window=spp_eff)
     # spp lanes share a pixel: scatter-ADD (caller divides by spp).
     # Lanes may return permuted (cfg.wavefront_sort), so the part row
     # derives from the returned GLOBAL pixel ids via the inverse part

@@ -501,3 +501,35 @@ def test_motion_preview_semantics(cornell_setup):
     r2.step()
     np.testing.assert_array_equal(np.asarray(r.film.accum),
                                   np.asarray(r2.film.accum))
+
+
+def test_env_nee_batched_frames_window():
+    """render_frame_batched with frames > cfg.frame_batch (the adaptive
+    viewer path) must reproduce the progressive frames' estimator: the
+    env-NEE dedup table sizes its sample window from the TRUE pool
+    (regression: an under-sized window would silently clamp late
+    frames onto the wrong draw streams)."""
+    from pathtracer.render import render_frame, render_frame_batched
+
+    b = SceneBuilder()
+    m = b.add_material(MaterialDesc(albedo=(0.6, 0.6, 0.6), roughness=1.0))
+    sv, sf = icosphere(1.0, (0, 0, 0), 2)
+    b.add_mesh(sv, sf, m)
+    env = np.ones((4, 8, 3), np.float32)
+    env[1, 2] = 25.0
+    b.set_envmap(env)
+    scene = b.finalize()
+    cam = Camera(position=(0, 0, 3))
+    cam.look_at((0, 0, 0))
+
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       sky="envmap", emission_gain=1.0,
+                       env_importance_sampling=True, intersector="brute",
+                       spp_batch=True)  # frame_batch stays 1
+    F = 2
+    batched_sum = render_frame_batched(
+        scene, cfg, cam.state(), jnp.uint32(0), frames=F)[0]
+    loop = sum(np.asarray(render_frame(scene, cfg, cam.state(), f))
+               for f in range(F))
+    np.testing.assert_allclose(np.asarray(batched_sum), loop,
+                               rtol=2e-5, atol=2e-5)
