@@ -46,6 +46,13 @@ LANES = 128
 # rides the per-TILE (not per-iteration) fixed cost. PT_SWEEP_SLOTS=2/3
 # A/Bs a shallower ring (import-time; separate process per leg).
 SLOTS = int(os.environ.get("PT_SWEEP_SLOTS", "4"))
+# Dead-tile prefetch gate: skip the warm-up ring + drain for tiles that
+# sweep zero columns. Chip A/B (PERF.md 0.45): the headline is live-tile
+# dominated and the extra per-tile predicate costs ~0.8% end-to-end,
+# while all-dead tiles inside live chunks are rare (the XLA chunk-skip
+# already absorbs fully-dead chunks) - so the gate defaults OFF.
+# PT_SWEEP_DEADGATE=1 enables it for sparse-shadow workloads.
+DEADGATE = os.environ.get("PT_SWEEP_DEADGATE", "0") != "0"
 
 
 def _bw_lane(block, rays, t_min, best_t):
@@ -114,13 +121,14 @@ def _sweep_kernel(st_ref, si_ref, rays_ref, tcap_ref, blocks_ref,
         pltpu.make_async_copy(
             scratch.at[slot], scratch.at[slot], sems.at[slot]).wait()
 
-    # Dead-tile gate: a tile whose NEAREST schedule entry is already past
-    # its farthest ray cap sweeps zero columns (all-dead parked lanes, or
-    # every cluster behind the cap) - skip the whole prefetch ring, not
-    # just the loop. The same predicate gates the drain below so starts
-    # and waits stay paired. Mirrors the while cond at col=0.
+    # Dead-tile gate (PT_SWEEP_DEADGATE, default off - see DEADGATE): a
+    # tile whose NEAREST schedule entry is already past its farthest ray
+    # cap sweeps zero columns - skip the whole prefetch ring, not just
+    # the loop. The same predicate gates the drain below so starts and
+    # waits stay paired. Mirrors the while cond at col=0.
     t_cap = tcap_ref[0, 0, :].reshape(r, 1)
-    live = st_ref[0, 0, 0] < jnp.max(t_cap)
+    live = (st_ref[0, 0, 0] < jnp.max(t_cap) if DEADGATE
+            else jnp.bool_(True))
 
     # prefetch ring: columns 0..SLOTS-1 in flight before the loop
     for c0 in range(SLOTS - 1):
@@ -243,9 +251,11 @@ def _occl_kernel(st_ref, si_ref, rays_ref, tm_ref, blocks_ref,
         pltpu.make_async_copy(
             scratch.at[slot], scratch.at[slot], sems.at[slot]).wait()
 
-    # Dead-tile gate (see _sweep_kernel): an empty schedule (first entry
-    # inf) sweeps zero columns - skip the ring and its drain entirely.
-    live = st_ref[0, 0, 0] < jnp.inf
+    # Dead-tile gate (see _sweep_kernel; PT_SWEEP_DEADGATE): an empty
+    # schedule (first entry inf) sweeps zero columns - skip the ring and
+    # its drain entirely.
+    live = (st_ref[0, 0, 0] < jnp.inf if DEADGATE
+            else jnp.bool_(True))
 
     for c0 in range(SLOTS - 1):
         @pl.when(live & (jnp.int32(c0) < n_cols))
