@@ -67,7 +67,9 @@ def main():
     pix = jnp.arange(n, dtype=jnp.int32)
     samp = jnp.zeros((n,), jnp.uint32)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
     def walk(k):
         """Trace k path segments; return (live, position, normal)."""
         o, d = cam_mod.generate_primary_rays(cs, w, h, cfg.fov_deg, pix,
@@ -102,7 +104,7 @@ def main():
         return live, p, gn
 
     def shadow(k):
-        live, p, gn = jax.block_until_ready(walk(k))
+        live, p, gn = jax.block_until_ready(walk(k=k))
         cell = 8
         cells_x = -(-w // cell)
         key_pix = ((pix // w) // cell * cells_x
