@@ -190,6 +190,12 @@ def main(argv=None):
                     help="Russian roulette on env shadow rays: trace "
                          "with q = clip(M*lum(throughput), 1/8, 1), "
                          "weight survivors 1/q (unbiased; 0 disables)")
+    ap.add_argument("--aperture", type=float, default=0.0,
+                    help="thin-lens DoF: lens diameter in world units "
+                         "(0 = pinhole, the reference's camera)")
+    ap.add_argument("--focus-dist", type=float, default=0.0,
+                    help="focal-plane distance along the view axis "
+                         "(required with --aperture)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sampler", default="pcg", choices=["pcg", "sobol"],
                     help="pcg = independent uniforms (reference class); "
@@ -265,6 +271,8 @@ def main(argv=None):
                        env_importance_sampling=args.env_nee,
                        env_nee_cell=args.env_cell,
                        env_shadow_rr=args.env_rr,
+                       aperture=args.aperture,
+                       focus_dist=args.focus_dist,
                        seed=args.seed, sampler=args.sampler,
                        intersector=args.intersector,
                        traversal_backend=args.traversal_backend,

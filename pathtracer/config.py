@@ -85,6 +85,13 @@ class RenderConfig:
     # the reference has no low-discrepancy option).
     sampler: str = "pcg"
 
+    # Thin-lens depth of field (net-new; the reference camera is
+    # pinhole-only, camera.cpp): aperture = lens DIAMETER in world
+    # units, focus_dist = perpendicular distance of the focal plane
+    # along the view axis. aperture 0 = pinhole (identical program).
+    aperture: float = 0.0
+    focus_dist: float = 0.0
+
     # Epsilon policy (values from raygen.rgen:130,144,164,199-204).
     t_min: float = 1e-3
     t_max: float = 1e20
@@ -212,6 +219,11 @@ class RenderConfig:
             raise ValueError("spp must be positive")
         if self.env_nee_cell < 1:
             raise ValueError("env_nee_cell must be >= 1")
+        if self.aperture < 0.0:
+            raise ValueError("aperture must be >= 0")
+        if self.aperture > 0.0 and self.focus_dist <= 0.0:
+            raise ValueError("aperture > 0 requires focus_dist > 0 "
+                             "(the focal plane distance)")
         if self.max_depth <= 0:
             raise ValueError("max_depth must be positive")
         if self.sky not in ("gradient", "black", "hosek", "envmap"):

@@ -102,20 +102,30 @@ class Camera:
 
 def generate_primary_rays(cam: CameraState, width: int, height: int,
                           fov_deg: float, pixel_ids, sample_ids, seed=0,
-                          sampler="pcg"):
-    """Jittered pinhole primary rays (raygen.rgen:103-119 semantics).
+                          sampler="pcg", aperture: float = 0.0,
+                          focus_dist: float = 0.0):
+    """Jittered primary rays (raygen.rgen:103-119 semantics).
 
     pixel_ids: i32[N] flat pixel index (row-major, row 0 = image top).
     sample_ids: u32[N] global sample index (frame * spp + s) - the RNG
     counter replacing the reference's seed derivation (raygen.rgen:105-106).
+
+    aperture/focus_dist (net-new; the reference is pinhole-only): with
+    aperture > 0, thin-lens depth of field - the ray origin jitters on
+    a disk of that diameter in the lens plane and re-aims at the
+    pixel's point on the focal plane (perpendicular distance focus_dist
+    along cam.front). The lens sample rides lanes 2-3 of the SAME
+    SALT_JITTER draw, so pinhole draws are untouched. aperture == 0 is
+    a static no-op (identical program to the pinhole path).
 
     Returns (origins f32[N,3], directions f32[N,3]).
     """
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
 
-    jx, jy = rng.uniform2(pixel_ids, sample_ids, 0, rng.SALT_JITTER, seed,
-                          sampler)
+    uj = rng.uniform4(pixel_ids, sample_ids, 0, rng.SALT_JITTER, seed,
+                      sampler)
+    jx, jy = uj[..., 0], uj[..., 1]
 
     # inUV in [0,1]^2 then NDC in [-1,1]^2 (raygen.rgen:110-111).
     u = (px + jx) / width * 2.0 - 1.0
@@ -130,4 +140,17 @@ def generate_primary_rays(cam: CameraState, width: int, height: int,
          - cam.up[None, :] * (v * tan_fov)[:, None])
     d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True))
     o = jnp.broadcast_to(cam.position[None, :], d.shape)
+    if aperture > 0.0 and focus_dist > 0.0:
+        # focal point of this pixel: where the pinhole ray crosses the
+        # plane at perpendicular distance focus_dist
+        t_focus = focus_dist / jnp.sum(d * cam.front[None, :], axis=-1,
+                                       keepdims=True)
+        p_focus = o + d * t_focus
+        r = 0.5 * aperture * jnp.sqrt(uj[..., 2])
+        phi = 2.0 * math.pi * uj[..., 3]
+        lens = (cam.right[None, :] * (r * jnp.cos(phi))[:, None]
+                + cam.up[None, :] * (r * jnp.sin(phi))[:, None])
+        o = o + lens
+        d = p_focus - o
+        d = d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True))
     return o, d

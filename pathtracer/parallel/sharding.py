@@ -133,7 +133,8 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
             sample_ids = jnp.repeat(sids, m)
             o, d = cam_mod.generate_primary_rays(
                 cam, w, h, cfg.fov_deg, pix_b, sample_ids, cfg.seed,
-                cfg.sampler)
+                cfg.sampler, aperture=cfg.aperture,
+                focus_dist=cfg.focus_dist)
             r, pix_out, _, prime_o, gb = path_mod.trace_paths(
                 scene, cfg, o, d, pix_b, sample_ids,
                 intersect_fn, occluded_fn, prime=prime_local,
@@ -165,7 +166,8 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
                 sample_ids = jnp.full((m,), gs, jnp.uint32)
                 o, d = cam_mod.generate_primary_rays(
                     cam, w, h, cfg.fov_deg, pixel_ids_local, sample_ids,
-                    cfg.seed, cfg.sampler)
+                    cfg.seed, cfg.sampler, aperture=cfg.aperture,
+                    focus_dist=cfg.focus_dist)
                 r, pix_out, _, prime_o, gb = path_mod.trace_paths(
                     scene, cfg, o, d, pixel_ids_local, sample_ids,
                     intersect_fn, occluded_fn, prime=prime_local,

@@ -162,7 +162,7 @@ def _render_sample_impl(scene, cfg, cam, frame_idx, s, prime,
         (n,), frame_idx * cfg.spp + jnp.asarray(s, jnp.uint32), jnp.uint32)
     o, d = cam_mod.generate_primary_rays(
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed,
-        cfg.sampler)
+        cfg.sampler, aperture=cfg.aperture, focus_dist=cfg.focus_dist)
     radiance, pix_out, rays, prime_out, gbuf = path_mod.trace_paths(
         scene, cfg, o, d, pixel_ids, sample_ids, intersect_fn, occluded_fn,
         prime=prime, want_gbuffer=want_gbuffer, sample_window=1)
@@ -241,7 +241,7 @@ def _trace_pool_part(scene: Scene, cfg: RenderConfig,
                   + jnp.repeat(jnp.arange(spp_eff, dtype=jnp.uint32), m))
     o, d = cam_mod.generate_primary_rays(
         cam, w, h, cfg.fov_deg, pixel_ids, sample_ids, cfg.seed,
-        cfg.sampler)
+        cfg.sampler, aperture=cfg.aperture, focus_dist=cfg.focus_dist)
     local = (jnp.tile(jnp.arange(m, dtype=jnp.int32), spp_eff)
              if split else None)
     radiance, pix_out, rays, prime_p, gbuf_p = path_mod.trace_paths(

@@ -86,3 +86,58 @@ def test_rays_deterministic():
     o1, d1 = generate_primary_rays(state, 4, 4, 70.0, pid, sid)
     o2, d2 = generate_primary_rays(state, 4, 4, 70.0, pid, sid)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_thin_lens_dof_geometry():
+    """Thin-lens rays (aperture > 0) re-converge exactly on the focal
+    plane and spread away from it; aperture == 0 is bit-identical to
+    the pinhole path (net-new feature, reference is pinhole-only)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pathtracer.integrator.camera import (Camera,
+                                              generate_primary_rays)
+
+    cam = Camera(position=(0.0, 0.0, 0.0))
+    cam.look_at((0.0, 0.0, -1.0))
+    cs = cam.state()
+    w = h = 64    # pixel footprint << lens radius at the
+    pix = jnp.arange(w * h, dtype=jnp.int32)  # focal plane
+
+    # 4 lens samples of the same pixel set
+    rays = []
+    for s in range(4):
+        samp = jnp.full((w * h,), s, jnp.uint32)
+        o, d = generate_primary_rays(cs, w, h, 70.0, pix, samp,
+                                     aperture=0.4, focus_dist=3.0)
+        rays.append((np.asarray(o), np.asarray(d)))
+
+    front = np.asarray(cs.front)
+
+    def plane_hits(dist):
+        pts = []
+        for o, d in rays:
+            t = dist / (d @ front)
+            pts.append(o + d * t[:, None])
+        return np.stack(pts)            # [S, N, 3]
+
+    # On the focal plane all lens samples of a pixel agree (up to the
+    # per-sample PIXEL jitter, bounded by ~2 pixel footprints there);
+    # at 3x the distance the lens blur dominates by an order of
+    # magnitude.
+    spread_focus = plane_hits(3.0).std(axis=0).max()
+    spread_far = plane_hits(9.0).std(axis=0).max()
+    assert spread_far > 4 * spread_focus, (spread_focus, spread_far)
+
+    # origins actually jitter on the lens disk
+    o0 = rays[0][0]
+    assert np.abs(o0 - np.asarray(cs.position)).max() <= 0.2 + 1e-6
+    assert np.abs(o0 - np.asarray(cs.position)).max() > 0.01
+
+    # pinhole (aperture=0) is bit-identical to the original path
+    samp = jnp.zeros((w * h,), jnp.uint32)
+    o_a, d_a = generate_primary_rays(cs, w, h, 70.0, pix, samp)
+    o_b, d_b = generate_primary_rays(cs, w, h, 70.0, pix, samp,
+                                     aperture=0.0, focus_dist=5.0)
+    np.testing.assert_array_equal(np.asarray(o_a), np.asarray(o_b))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))

@@ -109,10 +109,16 @@ def test_row_searchsorted_matches_jnp():
         np.testing.assert_array_equal(got, want, err_msg=f"w={w}")
 
 
-def test_cell_dedup_table_bit_exact():
+import pytest
+
+
+@pytest.mark.parametrize("sampler", ["pcg", "sobol"])
+def test_cell_dedup_table_bit_exact(sampler):
     """The per-(cell, sample) env-sampling table (path._nee_env cell>1
     path) must reproduce the direct per-lane computation bit-exactly -
-    it is the same computation deduplicated (PERF.md 0.44.2)."""
+    it is the same computation deduplicated (PERF.md 0.44.2). Both
+    samplers: the Sobol path groups on (pixel-key, sample) differently
+    but obeys the same counter-based contract."""
     import jax.numpy as jnp
 
     from pathtracer.integrator import sky as sky_mod
@@ -139,7 +145,7 @@ def test_cell_dedup_table_bit_exact():
     cells_x = -(-w // cell)
     cid = (pix // w) // cell * cells_x + (pix % w) // cell
     u = rng.uniform4(cid.astype(jnp.uint32), samp, depth,
-                     rng.SALT_ENV_SELECT, 0, "pcg")
+                     rng.SALT_ENV_SELECT, 0, sampler)
     l_ref, _, _ = envlight.sample_env(
         scene.env_marginal_cdf, scene.env_cond_cdf,
         u[..., 0], u[..., 1], u[..., 2], u[..., 3])
@@ -151,7 +157,7 @@ def test_cell_dedup_table_bit_exact():
     s0 = jnp.min(samp)
     ck = jnp.repeat(jnp.arange(n_cells, dtype=jnp.uint32), S)
     sk = jnp.tile(jnp.arange(S, dtype=jnp.uint32), n_cells) + s0
-    u_c = rng.uniform4(ck, sk, depth, rng.SALT_ENV_SELECT, 0, "pcg")
+    u_c = rng.uniform4(ck, sk, depth, rng.SALT_ENV_SELECT, 0, sampler)
     l_c, _, _ = envlight.sample_env(
         scene.env_marginal_cdf, scene.env_cond_cdf,
         u_c[..., 0], u_c[..., 1], u_c[..., 2], u_c[..., 3])
