@@ -236,6 +236,10 @@ def main(argv=None):
     ap.add_argument("--denoise", action="store_true",
                     help="edge-aware a-trous denoiser at display time "
                          "(film/denoise.py; the accumulation stays raw)")
+    ap.add_argument("--aov", action="store_true",
+                    help="also write primary-hit AOV images next to "
+                         "--out: <out>_normal/_depth/_albedo.png "
+                         "(net-new; the reference renders beauty only)")
     ap.add_argument("--mesh", default=None, metavar="TILE,SAMPLE",
                     help="render across a (tile, sample) device mesh via "
                          "shard_map (parallel/sharding.py); e.g. '4,2' on "
@@ -278,6 +282,7 @@ def main(argv=None):
                        traversal_backend=args.traversal_backend,
                        primary_priming=args.priming,
                        denoise=args.denoise,
+                       capture_gbuffer=args.aov,
                        spp_batch=args.spp_batch or frame_batch > 1,
                        frame_batch=frame_batch)
     mesh = None
@@ -349,6 +354,12 @@ def main(argv=None):
         r.save_png(args.out)
         if not args.quiet:
             print(f"wrote {args.out}")
+    if args.aov:
+        stem = os.path.splitext(args.out)[0]
+        for name, img in r.aovs().items():
+            fm.write_png(f"{stem}_{name}.png", img)
+            if not args.quiet:
+                print(f"wrote {stem}_{name}.png")
     if args.checkpoint:
         fm.save_checkpoint(args.checkpoint, r.film)
 

@@ -202,6 +202,11 @@ class RenderConfig:
     # ships no denoiser.
     denoise: bool = False
     denoise_iterations: int = 3
+    # Capture the primary-hit G-buffer even without the denoiser, for
+    # AOV export (Renderer.aovs() / --aov): normal, depth, albedo of
+    # the first-bounce surface in pixel order. Net-new (the reference
+    # renders beauty only).
+    capture_gbuffer: bool = False
 
     # Stochastic bilinear texture filtering: jitter the texel coordinate
     # by a per-(lane, bounce) uniform and take ONE tap whose expectation

@@ -542,7 +542,8 @@ class Renderer:
         if self.mesh is not None:
             from pathtracer.parallel import sharding
 
-            want_gb = self.cfg.denoise and self.cfg.max_depth > 1
+            want_gb = ((self.cfg.denoise or self.cfg.capture_gbuffer)
+                   and self.cfg.max_depth > 1)
             priming = (self.cfg.primary_priming
                        and self.cfg.intersector == "cluster")
             if priming and self._prime is None:
@@ -574,7 +575,8 @@ class Renderer:
             self.film = film_mod.accumulate_many(self.film, radiance, F)
             self._frames_done += F
             return self.film
-        want_gb = self.cfg.denoise and self.cfg.max_depth > 1
+        want_gb = ((self.cfg.denoise or self.cfg.capture_gbuffer)
+                   and self.cfg.max_depth > 1)
         F = self.cfg.frame_batch
         if F == 1 and self.auto_frame_batch > 1 and self._frames_done > 0:
             # static camera + at least one frame shown: switch to the
@@ -682,6 +684,26 @@ class Renderer:
 
     def save_png(self, path: str):
         film_mod.write_png(path, self.display())
+
+    def aovs(self) -> dict:
+        """Display-ready AOVs from the primary-hit G-buffer.
+
+        Returns {} until a frame rendered with G-buffer capture
+        (cfg.denoise or cfg.capture_gbuffer). normal maps [-1,1] to
+        [0,1]; depth is 1/(1+d) (sky -> 0); albedo is linear [0,1].
+        """
+        if self._gbuf is None:
+            return {}
+        h, w = self.cfg.height, self.cfg.width
+        n = np.asarray(self._gbuf["normal"]).reshape(h, w, 3)
+        d = np.asarray(self._gbuf["depth"]).reshape(h, w)
+        a = np.asarray(self._gbuf["albedo"]).reshape(h, w, 3)
+        return {
+            "normal": np.clip(n * 0.5 + 0.5, 0.0, 1.0),
+            "depth": np.repeat((1.0 / (1.0 + np.where(
+                np.isfinite(d), d, np.inf)))[..., None], 3, axis=-1),
+            "albedo": np.clip(a, 0.0, 1.0),
+        }
 
 
 def render_progressive(scene: Scene, cfg: RenderConfig,

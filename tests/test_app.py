@@ -168,3 +168,33 @@ def test_frame_batch_auto_cli(tmp_path):
     # identical sample set; only float summation order differs
     np.testing.assert_allclose(np.asarray(fa.accum), np.asarray(fb.accum),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_aov_export(tmp_path):
+    """--aov writes normal/depth/albedo PNGs from the primary-hit
+    G-buffer alongside the beauty (net-new over the reference)."""
+    import numpy as np
+
+    from pathtracer.app import main
+
+    out = tmp_path / "a.png"
+    main(["--scene", "cornell", "--width", "32", "--height", "32",
+          "--spp", "1", "--max-depth", "2", "--frames", "1",
+          "--aov", "--quiet", "--out", str(out)])
+    for name in ("normal", "depth", "albedo"):
+        p = tmp_path / f"a_{name}.png"
+        assert p.exists(), name
+    # the normal AOV maps the back wall's +z normal to blue-ish
+    from pathtracer.utils import native
+
+    raw = (tmp_path / "a_normal.png").read_bytes()
+    arr = native.png_decode(raw)
+    if arr is None:
+        from io import BytesIO
+
+        from PIL import Image
+
+        arr = np.asarray(Image.open(BytesIO(raw)).convert("RGB"))
+    center = arr[16, 16].astype(np.float32) / 255.0
+    assert center[2] > 0.8, center      # +z normal -> B ~ 1.0
+    assert abs(center[0] - 0.5) < 0.1   # x ~ 0 -> 0.5
