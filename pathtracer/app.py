@@ -236,6 +236,11 @@ def main(argv=None):
     ap.add_argument("--denoise", action="store_true",
                     help="edge-aware a-trous denoiser at display time "
                          "(film/denoise.py; the accumulation stays raw)")
+    ap.add_argument("--tonemap", default="gamma",
+                    choices=["gamma", "reinhard", "aces"],
+                    help="display transform: gamma = the reference's "
+                         "pow-1/2.2; reinhard/aces add filmic highlight "
+                         "rolloff (display-time only)")
     ap.add_argument("--aov", action="store_true",
                     help="also write primary-hit AOV images next to "
                          "--out: <out>_normal/_depth/_albedo.png "
@@ -282,6 +287,7 @@ def main(argv=None):
                        traversal_backend=args.traversal_backend,
                        primary_priming=args.priming,
                        denoise=args.denoise,
+                       tonemap=args.tonemap,
                        capture_gbuffer=args.aov,
                        spp_batch=args.spp_batch or frame_batch > 1,
                        frame_batch=frame_batch)

@@ -202,6 +202,12 @@ class RenderConfig:
     # ships no denoiser.
     denoise: bool = False
     denoise_iterations: int = 3
+    # Display tone mapping (film.to_display): "gamma" = the reference's
+    # pow-1/2.2 (raygen.rgen:305-306, default), "reinhard" / "aces" =
+    # filmic highlight rolloff (net-new). Display-time only - the film,
+    # checkpoints and goldens stay linear.
+    tonemap: str = "gamma"
+
     # Capture the primary-hit G-buffer even without the denoiser, for
     # AOV export (Renderer.aovs() / --aov): normal, depth, albedo of
     # the first-bounce surface in pixel order. Net-new (the reference
@@ -226,6 +232,8 @@ class RenderConfig:
             raise ValueError("env_nee_cell must be >= 1")
         if self.aperture < 0.0:
             raise ValueError("aperture must be >= 0")
+        if self.tonemap not in ("gamma", "reinhard", "aces"):
+            raise ValueError("tonemap must be gamma|reinhard|aces")
         if self.aperture > 0.0 and self.focus_dist <= 0.0:
             raise ValueError("aperture > 0 requires focus_dist > 0 "
                              "(the focal plane distance)")

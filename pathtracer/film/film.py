@@ -68,9 +68,27 @@ def reset(film: Film) -> Film:
     return Film(accum=jnp.zeros_like(film.accum), frame=jnp.zeros_like(film.frame))
 
 
-def to_display(linear: jnp.ndarray) -> jnp.ndarray:
-    """Gamma-2.2 display transform (raygen.rgen:305-306), clipped to [0,1]."""
-    return jnp.clip(jnp.maximum(linear, 0.0) ** (1.0 / 2.2), 0.0, 1.0)
+def to_display(linear: jnp.ndarray, tonemap: str = "gamma") -> jnp.ndarray:
+    """Display transform, clipped to [0,1].
+
+    "gamma"    pow(x, 1/2.2) - the reference's transform
+               (raygen.rgen:305-306); the default everywhere.
+    "reinhard" x/(1+x) then gamma - soft highlight rolloff (net-new).
+    "aces"     Narkowicz's ACES filmic fit then gamma (net-new).
+    Display-time only: accumulation, checkpoints and goldens are always
+    linear radiance.
+    """
+    x = jnp.maximum(linear, 0.0)
+    if tonemap == "reinhard":
+        x = x / (1.0 + x)
+    elif tonemap == "aces":
+        # Krzysztof Narkowicz's luminance-fit of the ACES RRT+ODT
+        a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+        x = (x * (a * x + b)) / (x * (c * x + d) + e)
+    elif tonemap != "gamma":
+        raise ValueError(f"unknown tonemap {tonemap!r} "
+                         "(gamma|reinhard|aces)")
+    return jnp.clip(x ** (1.0 / 2.2), 0.0, 1.0)
 
 
 def rmse(a, b) -> float:

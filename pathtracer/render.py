@@ -655,7 +655,8 @@ class Renderer:
             # moving camera: nearest-upscale the low-res preview to the
             # display resolution (the terminal viewer re-downsamples to
             # character cells anyway, so nearest costs nothing visible)
-            p = np.asarray(film_mod.to_display(self._preview))
+            p = np.asarray(film_mod.to_display(self._preview,
+                                               self.cfg.tonemap))
             ys = (np.arange(self.cfg.height) * p.shape[0]
                   ) // self.cfg.height
             xs = (np.arange(self.cfg.width) * p.shape[1]) // self.cfg.width
@@ -680,7 +681,7 @@ class Renderer:
                 self._gbuf["albedo"].reshape(h, w, 3),
                 iterations=self.cfg.denoise_iterations,
                 variance=var)
-        return np.asarray(film_mod.to_display(linear))
+        return np.asarray(film_mod.to_display(linear, self.cfg.tonemap))
 
     def save_png(self, path: str):
         film_mod.write_png(path, self.display())

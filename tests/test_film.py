@@ -120,3 +120,22 @@ def test_atrous_denoise_reduces_noise():
     img = r.display()
     assert img.shape == (h, w, 3)
     np.testing.assert_array_equal(np.asarray(r.film.accum), noisy)
+
+
+def test_tonemap_modes():
+    """reinhard/aces (display-only, net-new) are monotonic, bounded,
+    compress highlights below plain gamma, and the default 'gamma' is
+    exactly the reference transform."""
+    x = jnp.array([[[0.0, 0.1, 0.5], [1.0, 4.0, 100.0]]])
+    g = np.asarray(fm.to_display(x))
+    np.testing.assert_array_equal(g, np.asarray(fm.to_display(x, "gamma")))
+    for mode in ("reinhard", "aces"):
+        y = np.asarray(fm.to_display(x, mode))
+        assert (y >= 0).all() and (y <= 1).all()
+        flat = y.reshape(-1)
+        assert (np.diff(flat) >= -1e-6).all()          # monotonic
+        assert flat[-2] < g.reshape(-1)[-2] + 1e-6     # rolls off x=4
+    import pytest
+
+    with pytest.raises(ValueError):
+        fm.to_display(x, "nope")
