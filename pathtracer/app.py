@@ -236,6 +236,10 @@ def main(argv=None):
     ap.add_argument("--denoise", action="store_true",
                     help="edge-aware a-trous denoiser at display time "
                          "(film/denoise.py; the accumulation stays raw)")
+    ap.add_argument("--clamp", type=float, default=0.0, metavar="C",
+                    help="firefly clamp: bound each path sample's "
+                         "radiance at C (biased variance control; "
+                         "0 = off, the unbiased default)")
     ap.add_argument("--tonemap", default="gamma",
                     choices=["gamma", "reinhard", "aces"],
                     help="display transform: gamma = the reference's "
@@ -288,6 +292,7 @@ def main(argv=None):
                        primary_priming=args.priming,
                        denoise=args.denoise,
                        tonemap=args.tonemap,
+                       clamp_radiance=args.clamp,
                        capture_gbuffer=args.aov,
                        spp_batch=args.spp_batch or frame_batch > 1,
                        frame_batch=frame_batch)

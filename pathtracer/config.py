@@ -202,6 +202,13 @@ class RenderConfig:
     # ships no denoiser.
     denoise: bool = False
     denoise_iterations: int = 3
+    # Firefly clamp (net-new): with clamp_radiance = c > 0, each path
+    # sample's total radiance is bounded componentwise at c before
+    # accumulation. Biased (energy-losing on rare bright paths) but a
+    # standard production variance control; 0 = off (the default - all
+    # goldens and parity targets use the unbiased estimator).
+    clamp_radiance: float = 0.0
+
     # Display tone mapping (film.to_display): "gamma" = the reference's
     # pow-1/2.2 (raygen.rgen:305-306, default), "reinhard" / "aces" =
     # filmic highlight rolloff (net-new). Display-time only - the film,

@@ -994,6 +994,12 @@ def trace_paths(scene: Scene, cfg: RenderConfig, origins, directions,
     carry, _ = segment(carry, cfg.max_depth - 1,
                        primary=(cfg.max_depth == 1))
     _, _, _, radiance, _, _, pix_out, _, rays_traced = carry
+    if cfg.clamp_radiance > 0.0:
+        # Firefly clamp (net-new, OFF by default): bound each path
+        # sample's total radiance. Biased (darkens rare bright paths) -
+        # a standard production noise/robustness trade the reference
+        # does not offer; goldens/parity all run with it off.
+        radiance = jnp.minimum(radiance, cfg.clamp_radiance)
     gbuf = gbuf_state if gbuf_state else None   # empty at max_depth == 1
     if prime is None:
         return radiance, pix_out, rays_traced, None, gbuf

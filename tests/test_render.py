@@ -533,3 +533,21 @@ def test_env_nee_batched_frames_window():
                for f in range(F))
     np.testing.assert_allclose(np.asarray(batched_sum), loop,
                                rtol=2e-5, atol=2e-5)
+
+
+def test_clamp_radiance(cornell_setup):
+    """cfg.clamp_radiance bounds per-sample radiance (firefly clamp,
+    off by default = bit-identical estimator)."""
+    scene, _, cam, cfg = cornell_setup
+    base = np.asarray(render_frame(scene, cfg, cam.state(), 0))
+    off = np.asarray(render_frame(
+        scene, dataclasses.replace(cfg, clamp_radiance=0.0),
+        cam.state(), 0))
+    np.testing.assert_array_equal(base, off)
+    c = dataclasses.replace(cfg, clamp_radiance=0.5)
+    img = np.asarray(render_frame(scene, c, cam.state(), 0))
+    assert img.max() <= 0.5 + 1e-6
+    assert base.max() > 0.5          # the clamp actually binds here
+    # unclamped regions agree
+    mask = base <= 0.5
+    np.testing.assert_allclose(img[mask], base[mask], rtol=1e-6)
