@@ -482,6 +482,9 @@ class Renderer:
         # runtime display-filter toggle (the viewer flips it; the frozen
         # cfg stays the source of truth for G-buffer capture)
         self.denoise = cfg.denoise
+        # runtime display-transform override (viewer 't' key cycles it;
+        # cfg.tonemap stays the configured default)
+        self.tonemap = cfg.tonemap
         # Adaptive cross-frame batching (viewer throughput mode): when
         # auto_frame_batch = F > 1, the step AFTER a camera move renders
         # one frame (latency - instant visual feedback), and every
@@ -656,7 +659,7 @@ class Renderer:
             # display resolution (the terminal viewer re-downsamples to
             # character cells anyway, so nearest costs nothing visible)
             p = np.asarray(film_mod.to_display(self._preview,
-                                               self.cfg.tonemap))
+                                               self.tonemap))
             ys = (np.arange(self.cfg.height) * p.shape[0]
                   ) // self.cfg.height
             xs = (np.arange(self.cfg.width) * p.shape[1]) // self.cfg.width
@@ -681,7 +684,7 @@ class Renderer:
                 self._gbuf["albedo"].reshape(h, w, 3),
                 iterations=self.cfg.denoise_iterations,
                 variance=var)
-        return np.asarray(film_mod.to_display(linear, self.cfg.tonemap))
+        return np.asarray(film_mod.to_display(linear, self.tonemap))
 
     def save_png(self, path: str):
         film_mod.write_png(path, self.display())

@@ -73,7 +73,7 @@ def frame_to_ansi(img: np.ndarray, cols: int = 80, rows: int = 24) -> str:
 
 
 _KEY_HELP = ("WASD+QE move | arrows/IJKL look | +/- speed | "
-             "n denoise | ESC/x quit")
+             "n denoise | t tonemap | ESC/x quit")
 
 
 def _read_keys(timeout: float):
@@ -186,6 +186,10 @@ def run_interactive(renderer, cols: int = 100, rows: int = 40,
                 elif k == "n":
                     renderer.denoise = (not renderer.denoise
                                         and renderer.cfg.denoise)
+                elif k == "t":
+                    modes = ("gamma", "reinhard", "aces")
+                    renderer.tonemap = modes[
+                        (modes.index(renderer.tonemap) + 1) % len(modes)]
                 elif k == "+":
                     cam.speed *= 1.5
                 elif k == "-":
