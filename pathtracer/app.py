@@ -325,6 +325,10 @@ def main(argv=None):
         if not args.quiet:
             print(f"rendered {n} frames")
         r.save_png(args.out)
+        if args.aov:
+            stem = os.path.splitext(args.out)[0]
+            for name, img in r.aovs().items():
+                fm.write_png(f"{stem}_{name}.png", img)
         if args.checkpoint:
             fm.save_checkpoint(args.checkpoint, r.film)
         return
