@@ -45,7 +45,7 @@ LANES = 128
 # the SLOTS-1-column warm-up is a large fraction of a tile's DMA work and
 # rides the per-TILE (not per-iteration) fixed cost. PT_SWEEP_SLOTS=2/3
 # A/Bs a shallower ring (import-time; separate process per leg).
-SLOTS = int(os.environ.get("PT_SWEEP_SLOTS", "4"))
+SLOTS = max(2, int(os.environ.get("PT_SWEEP_SLOTS", "4")))
 # Dead-tile prefetch gate: skip the warm-up ring + drain for tiles that
 # sweep zero columns. Chip A/B (PERF.md 0.45): the headline is live-tile
 # dominated and the extra per-tile predicate costs ~0.8% end-to-end,
