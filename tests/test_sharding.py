@@ -196,3 +196,22 @@ def test_sharded_frame_batch_matches_progressive(cluster_setup):
     np.testing.assert_allclose(np.asarray(r2.film.accum),
                                np.asarray(r3.film.accum),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_dof_matches_single_chip(cluster_setup):
+    """Thin-lens DoF threads through the sharded path identically (the
+    lens draw keys on (pixel, sample) like every other stream)."""
+    import dataclasses
+
+    import numpy as np
+
+    from pathtracer.parallel.sharding import make_mesh, render_frame_sharded
+    from pathtracer.render import render_frame
+
+    scene, cam, cfg = cluster_setup
+    dcfg = dataclasses.replace(cfg, aperture=0.3, focus_dist=2.0)
+    single = np.asarray(render_frame(scene, dcfg, cam.state(), 0))
+    mesh = make_mesh(jax.devices("cpu")[:8], tile=4, sample=2)
+    sharded = np.asarray(
+        render_frame_sharded(scene, dcfg, cam.state(), 0, mesh))
+    np.testing.assert_allclose(sharded, single, rtol=2e-5, atol=2e-5)
