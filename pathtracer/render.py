@@ -527,9 +527,14 @@ class Renderer:
         s = self.motion_preview
         w = max(16, (self.cfg.width // s) // 8 * 8)
         h = max(16, (self.cfg.height // s) // 8 * 8)
+        # depth 3 is visually indistinguishable in a moving preview and
+        # cuts the step's bounce work ~2x; the preview never enters the
+        # film, so full-depth accuracy resumes with the first static
+        # frame
         cfg_p = dataclasses.replace(
             self.cfg, width=w, height=h, spp=1, spp_batch=False,
-            frame_batch=1, denoise=False, primary_priming=False)
+            frame_batch=1, denoise=False, primary_priming=False,
+            max_depth=min(3, self.cfg.max_depth))
         self._preview = render_frame(self.scene, cfg_p,
                                      self.camera.state(),
                                      jnp.uint32(0))
