@@ -186,7 +186,7 @@ def main(argv=None):
                          "NxN screen cell share one env direction per "
                          "(sample, depth) - coherent shadow tiles, "
                          "same per-pixel estimator (1 = independent)")
-    ap.add_argument("--env-rr", type=float, default=1.0, metavar="M",
+    ap.add_argument("--env-rr", type=float, default=0.0, metavar="M",
                     help="Russian roulette on env shadow rays: trace "
                          "with q = clip(M*lum(throughput), 1/8, 1), "
                          "weight survivors 1/q (unbiased; 0 disables)")

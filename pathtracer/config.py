@@ -114,13 +114,14 @@ class RenderConfig:
     # trace the env shadow ray with probability q = clip(m * lum(T),
     # 1/8, 1) where T is the path throughput, and weight surviving
     # contributions by 1/q - the reference's own path-RR principle
-    # (raygen.rgen:286-290) applied at the shadow-ray site. Unbiased;
-    # adds bounded variance ONLY where the path is already dim. The r5
-    # attribution measured deep-bounce env shadow rays (incoherent by
-    # nature - scattered origins x sampled sky directions) as the
-    # dominant envmap-config cost; RR prunes exactly those. m = this
-    # field; 0 disables (trace every valid shadow ray).
-    env_shadow_rr: float = 1.0
+    # (raygen.rgen:286-290) applied at the shadow-ray site. Unbiased
+    # thinning, but it adds variance where paths are dim - and after
+    # the 0.44.2 sampling dedup removed the real cost, the chip
+    # measures RR time-NEUTRAL on config 4 (723.5 on vs 723.8 off),
+    # so the default is OFF (m = 0): zero-variance-cost estimator.
+    # Set m > 0 only for scenes whose deep-bounce occlusion calls
+    # actually dominate.
+    env_shadow_rr: float = 0.0
 
     # Reproduce the reference's estimator quirks exactly (SURVEY.md par.3.6):
     # NEE without the x10 gain and emission=mat.emission (not *albedo) on BSDF
