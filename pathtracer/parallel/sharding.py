@@ -113,7 +113,13 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
         lane_rows = jnp.arange(m, dtype=jnp.int32)
         prime_out = None
         gbuf = None
-        if cfg.spp_batch and local_spp * frames > 1:
+        # frames > 1 forces the batched wavefront even without
+        # cfg.spp_batch (the Renderer's ADAPTIVE frame batching passes
+        # frames=F with an unchanged cfg; the loop branch below renders
+        # only ONE frame, which would under-credit accumulate_many's
+        # F-frame fold)
+        batched = (cfg.spp_batch or frames > 1) and local_spp * frames > 1
+        if batched:
             # spp-batched shard wavefront (cfg.spp_batch, PERF.md 0.27):
             # the shard's local_spp samples (x frames frames, with
             # cfg.frame_batch) trace as ONE wavefront so the coherence
@@ -200,7 +206,7 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig,
         if want_gb:
             gbuf = jax.tree_util.tree_map(
                 lambda x: jax.lax.psum(x, "sample"), gbuf)
-            if cfg.spp_batch and local_spp > 1:
+            if batched:
                 # batched: features already one winner; moments are sums
                 gbuf = dict(gbuf, m1=gbuf["m1"] / cfg.spp,
                             m2=gbuf["m2"] / cfg.spp)

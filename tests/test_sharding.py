@@ -198,6 +198,37 @@ def test_sharded_frame_batch_matches_progressive(cluster_setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_auto_frame_batch_matches_single_steps(cluster_setup):
+    """Renderer(mesh=..., auto_frame_batch=F): the adaptive interactive
+    policy applies on the sharded path too (ADVICE r4: it used to be
+    silently inert with --mesh) — post-construction/post-move step is 1
+    frame for latency, static steps fold F frames, and the film matches
+    single-frame sharded stepping at the same frame count."""
+    from pathtracer.render import Renderer
+
+    scene, cam, cfg = cluster_setup
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)
+    ra = Renderer(scene, cfg, cam, mesh=mesh, auto_frame_batch=3)
+    ra.camera.moved = False
+    ra.step()                                     # latency step: 1 frame
+    assert int(ra.film.frame) == 1
+    ra.step()                                     # throughput step: 3
+    assert int(ra.film.frame) == 4
+
+    rb = Renderer(scene, cfg, Camera(position=(0.5, 0.5, 2.2)), mesh=mesh)
+    rb.camera.look_at((0.5, 0.5, 0.0))
+    rb.camera.moved = False
+    for _ in range(4):
+        rb.step()
+    np.testing.assert_allclose(np.asarray(ra.film.accum),
+                               np.asarray(rb.film.accum),
+                               rtol=1e-4, atol=1e-5)
+
+    ra.camera.moved = True                        # a move resets + drops
+    ra.step()                                     # back to 1-frame step
+    assert int(ra.film.frame) == 1
+
+
 def test_sharded_dof_matches_single_chip(cluster_setup):
     """Thin-lens DoF threads through the sharded path identically (the
     lens draw keys on (pixel, sample) like every other stream)."""
