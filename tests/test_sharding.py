@@ -169,6 +169,51 @@ def test_sharded_gbuffer_matches_single_chip(cluster_setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_gbuffer_frame_batch_local_spp_one(cluster_setup):
+    """G-buffer on the batched sharded path with local_spp == 1 (spp 2
+    over a sample=2 axis, frame_batch 2): features must come through as
+    the one-winner values UNDIVIDED (regression: the normalization used
+    to key on cfg.spp_batch and local_spp > 1, which disagreed with the
+    branch taken and divided normal/depth/albedo by spp)."""
+    import dataclasses
+
+    from pathtracer.render import Renderer
+
+    scene, cam, cfg = cluster_setup
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)  # local_spp=1
+    cfg_f = dataclasses.replace(cfg, denoise=True, spp_batch=True,
+                                frame_batch=2)
+    rs = Renderer(scene, cfg_f, cam, mesh=mesh)
+    r1 = Renderer(scene, cfg_f, cam)
+    rs.camera.moved = r1.camera.moved = False
+    rs.step(), r1.step()
+    assert int(rs.film.frame) == int(r1.film.frame) == 2
+    # moments are true sums -> exact across layouts
+    for k in ("m1", "m2"):
+        np.testing.assert_allclose(np.asarray(rs._gbuf[k]),
+                                   np.asarray(r1._gbuf[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    # features: the duplicate-writer WINNER is unspecified per scatter
+    # (path.py primary G-buffer comment), so exact equality cannot be
+    # pinned at AA edges; pin the scaling invariants the /spp
+    # double-division broke instead: hit normals unit-length, sky
+    # albedo exactly neutral 1
+    normal = np.asarray(rs._gbuf["normal"])
+    depth = np.asarray(rs._gbuf["depth"])
+    albedo = np.asarray(rs._gbuf["albedo"])
+    hit = np.isfinite(depth)
+    assert hit.any()
+    nn = np.linalg.norm(normal[hit], axis=-1)
+    np.testing.assert_allclose(nn, 1.0, rtol=1e-4, err_msg="unit normal")
+    if (~hit).any():
+        np.testing.assert_allclose(albedo[~hit], 1.0, rtol=1e-6,
+                                   err_msg="sky albedo neutral")
+    # the film itself stays exact across layouts
+    np.testing.assert_allclose(np.asarray(rs.film.accum),
+                               np.asarray(r1.film.accum),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_frame_batch_matches_progressive(cluster_setup):
     """frames=F on the mesh: one batched sharded step == F sharded
     steps' accumulation (cfg.frame_batch across the sample shards)."""
