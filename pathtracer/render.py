@@ -544,7 +544,10 @@ class Renderer:
         if self.camera.moved:
             self.reset()
             self.camera.moved = False
-            if self.motion_preview > 1 and self.mesh is None:
+            # the preview also applies with a mesh: it is a tiny
+            # single-device render (film and sharded state untouched),
+            # so sharded interactive sessions keep move latency too
+            if self.motion_preview > 1:
                 return self._step_preview()
         self._preview = None
         if self.mesh is not None:

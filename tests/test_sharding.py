@@ -274,6 +274,39 @@ def test_sharded_auto_frame_batch_matches_single_steps(cluster_setup):
     assert int(ra.film.frame) == 1
 
 
+def test_sharded_motion_preview(cluster_setup):
+    """Motion preview composes with a mesh: the moving-camera step is a
+    tiny single-device render (film untouched), and the first static
+    step resumes SHARDED accumulation identically to a no-preview
+    sharded renderer after the same move."""
+    from pathtracer.render import Renderer
+
+    scene, cam, cfg = cluster_setup
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)
+
+    def fresh_cam():
+        c = Camera(position=(0.5, 0.5, 2.2))
+        c.look_at((0.5, 0.5, 0.0))
+        return c
+
+    r = Renderer(scene, cfg, fresh_cam(), mesh=mesh, motion_preview=2)
+    r.camera.process_mouse(10.0, 0.0)
+    film = r.step()                         # preview step
+    assert int(film.frame) == 0
+    assert r._preview is not None
+    assert r.display().shape == (cfg.height, cfg.width, 3)
+    film = r.step()                         # static: real sharded frame
+    assert int(film.frame) == 1
+    assert r._preview is None
+
+    r2 = Renderer(scene, cfg, fresh_cam(), mesh=mesh)
+    r2.camera.process_mouse(10.0, 0.0)
+    r2.step()
+    np.testing.assert_allclose(np.asarray(r.film.accum),
+                               np.asarray(r2.film.accum),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_dof_matches_single_chip(cluster_setup):
     """Thin-lens DoF threads through the sharded path identically (the
     lens draw keys on (pixel, sample) like every other stream)."""
