@@ -274,6 +274,51 @@ def test_sharded_auto_frame_batch_matches_single_steps(cluster_setup):
     assert int(ra.film.frame) == 1
 
 
+def test_sharded_env_nee_frame_batch(cluster_setup):
+    """Env-NEE (importance sampling + the r5 per-(cell,sample) dedup
+    table, whose window sizes off spp*frames) composes with frames>1 on
+    the mesh: one 2-frame batched sharded step == two progressive
+    sharded steps == the single-chip batched step."""
+    import dataclasses
+
+    from pathtracer.accel.cluster import build_scene_clusters
+    from pathtracer.render import Renderer
+    from pathtracer.scene.procedural import cornell_box
+
+    b = cornell_box(materials_suite=True)
+    env = np.zeros((32, 64, 3), np.float32)
+    env[:16] = (0.4, 0.5, 0.8)
+    env[20:24, 30:34] = 50.0
+    b.set_envmap(env)
+    scene = build_scene_clusters(b.finalize())
+    cam = Camera(position=(0.5, 0.5, 2.2))
+    cam.look_at((0.5, 0.5, 0.0))
+    cfg = RenderConfig(width=16, height=16, spp=2, max_depth=3,
+                       intersector="cluster", sky="envmap",
+                       env_importance_sampling=True, spp_batch=True)
+    cfg_f = dataclasses.replace(cfg, frame_batch=2)
+    mesh = make_mesh(jax.devices()[:8], tile=4, sample=2)
+
+    rb = Renderer(scene, cfg_f, cam, mesh=mesh)
+    rp = Renderer(scene, cfg, Camera(position=(0.5, 0.5, 2.2)), mesh=mesh)
+    rp.camera.look_at((0.5, 0.5, 0.0))
+    rb.camera.moved = rp.camera.moved = False
+    rb.step()
+    rp.step(), rp.step()
+    assert int(rb.film.frame) == int(rp.film.frame) == 2
+    np.testing.assert_allclose(np.asarray(rb.film.accum),
+                               np.asarray(rp.film.accum),
+                               rtol=1e-4, atol=1e-5)
+
+    r1 = Renderer(scene, cfg_f, Camera(position=(0.5, 0.5, 2.2)))
+    r1.camera.look_at((0.5, 0.5, 0.0))
+    r1.camera.moved = False
+    r1.step()
+    np.testing.assert_allclose(np.asarray(rb.film.accum),
+                               np.asarray(r1.film.accum),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_motion_preview(cluster_setup):
     """Motion preview composes with a mesh: the moving-camera step is a
     tiny single-device render (film untouched), and the first static
